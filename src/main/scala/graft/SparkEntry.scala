@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.ClipQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every entry in [[queries]] is one operator from SURVEY.md §2 / the north
+  * rule; entries with a DuckDB-expressible semantics also appear in
+  * [[oracleSql]] (same column names both sides — the driver's compare sorts
+  * columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: per-partition pass/fail verdicts of the full check suite over
+    * the derived clips table at sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    ClipQueries.verdicts(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vc_violations" -> ((s, d) => ClipQueries.violations(s, d)),
+    "vc_verdicts" -> ((s, d) => ClipQueries.verdicts(s, d)),
+    "vc_stats" -> ((s, d) => ClipQueries.stats(s, d)),
+    "vc_quantiles" -> ((s, d) => ClipQueries.quantiles(s, d)),
+    "vc_tdigest" -> ((s, d) => ClipQueries.tdigest(s, d)),
+    "vc_drift_chi2" -> ((s, d) => ClipQueries.driftChi2(s, d)),
+    "vc_drift_ks" -> ((s, d) => ClipQueries.driftKs(s, d)),
+    "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d))
+  )
+
+  def oracleSql: Map[String, String] = ClipQueries.oracles
 }

@@ -1,0 +1,107 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dsl._
+
+/** Compiles a [[graft.dsl.CheckSuite]] into Catalyst plans.
+  *
+  * Design (SURVEY.md §3 "Spark lifecycle"): all row-level checks are fused
+  * into ONE narrow projection over the scan — the analogue of the reference
+  * evaluating all its heuristics in a single pass over the input string.
+  * Violation capture mirrors the reference's noop-logger trick
+  * (json_parser.py:70-79): we compile *two* plan shapes — `violations`
+  * (with capture columns) and `verdicts` (flags only, no string building) —
+  * instead of guarding per-row.
+  *
+  * Scale notes (100 TB):
+  *   - row checks: zero shuffle, whole-stage-codegen'd `CASE WHEN` chains.
+  *   - uniqueness: hash aggregate on the key — Spark's partial aggregation is
+  *     the salting/pre-agg; AQE (`skewJoin`/`coalescePartitions`) handles hot
+  *     keys; enabled in runner config.
+  *   - referential: LEFT ANTI join on the key; broadcast if the ref side fits
+  *     under `autoBroadcastJoinThreshold`, else sort-merge. The verdict path
+  *     reuses the same clip_id shuffle for the dup-window and the ref join
+  *     (one exchange, two consumers).
+  */
+object CheckCompiler {
+
+  /** One struct per failing row-check, null otherwise; exploded to violation
+    * rows. `array_compact` keeps the explode from emitting nulls. */
+  def violations(df: DataFrame, suite: CheckSuite): DataFrame = {
+    val key = col(suite.keyColumn)
+    val rowViol: Option[DataFrame] =
+      if (suite.rowChecks.isEmpty) None
+      else Some {
+        val structs = suite.rowChecks.map { c =>
+          when(c.failWhen,
+            struct(
+              lit(c.name).as("check_name"),
+              lit(c.column).as("column_name"),
+              coalesce(c.detail, lit("")).as("detail")))
+        }
+        df.select(key.as("clip_id"), explode(array_compact(array(structs: _*))).as("v"))
+          .select(col("clip_id"), col("v.check_name"), col("v.column_name"), col("v.detail"))
+      }
+
+    val uniqViol: Seq[DataFrame] = suite.uniqueChecks.map { u =>
+      df.groupBy(col(u.column).as("clip_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+        .select(
+          col("clip_id"),
+          lit(u.name).as("check_name"),
+          lit(u.column).as("column_name"),
+          col("cnt").cast("string").as("detail"))
+    }
+
+    val refViol: Seq[DataFrame] = suite.refChecks.map { r =>
+      val refDf = suite.refs(r.refName)
+      df.join(refDf, df(r.column) === refDf(refDf.columns.head), "left_anti")
+        .select(
+          col(r.column).as("clip_id"),
+          lit(r.name).as("check_name"),
+          lit(r.column).as("column_name"),
+          lit("missing_ref").as("detail"))
+    }
+
+    (rowViol.toSeq ++ uniqViol ++ refViol).reduce(_.unionByName(_))
+  }
+
+  /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
+    * its key is duplicated, or its key is missing from the ref table.
+    * One clip_id shuffle serves both the dup-window and the ref join. */
+  def verdicts(df: DataFrame, suite: CheckSuite): DataFrame = {
+    val rowBad: Column =
+      suite.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
+
+    var cur = df.withColumn("__row_bad", rowBad)
+
+    suite.uniqueChecks.foreach { u =>
+      val w = Window.partitionBy(col(u.column))
+      cur = cur.withColumn(s"__dup_${u.column}", count(lit(1)).over(w) > 1)
+    }
+    suite.refChecks.foreach { r =>
+      val refDf = suite.refs(r.refName)
+        .select(col(suite.refs(r.refName).columns.head).as(r.column))
+        .withColumn(s"__present_${r.name}", lit(1))
+      cur = cur.join(refDf, Seq(r.column), "left")
+        .withColumn(s"__miss_${r.name}", col(s"__present_${r.name}").isNull)
+    }
+    val badCols =
+      col("__row_bad") +:
+        (suite.uniqueChecks.map(u => col(s"__dup_${u.column}")) ++
+          suite.refChecks.map(r => col(s"__miss_${r.name}")))
+    val bad = badCols.reduce(_ || _)
+
+    cur.withColumn("__bad", bad)
+      .groupBy(col(suite.bucketColumn).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("__bad"), lit(1))).as("n_bad"))
+      .withColumn("pass", col("n_bad") === 0)
+      .select("bucket", "n_rows", "n_bad", "pass")
+  }
+}

@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.{StatsAggregator, TDigestAggregator}
+import graft.clips.ClipsTable
+import graft.compile.CheckCompiler
+import graft.dsl._
+
+/** The constraint-validation queries over the derived clips table — the
+  * engine's public surface for the driver's DuckDB correctness gate.
+  * Each `def` has a matching oracle in [[oracles]] built on the same
+  * deterministic CTE ([[ClipsTable.cte]]).
+  */
+object ClipQueries {
+
+  /** The standard check suite for the clips table (SURVEY.md §7.3 minimum
+    * slice): NOT NULL + non-empty transcript, sr_hz range, codec enum,
+    * clip_id uniqueness, clip→refs referential integrity. */
+  def suite(spark: SparkSession, sfDir: String): CheckSuite = {
+    import Check.colResolver
+    CheckSuite(
+      keyColumn = "clip_id",
+      bucketColumn = "bucket",
+      checks = Seq(
+        NotNull("transcript"),
+        NotEmpty("transcript"),
+        InRange("sr_hz", ClipsTable.SrMin, ClipsTable.SrMax),
+        EnumIn("codec", ClipsTable.CodecEnum),
+        Unique("clip_id"),
+        RefIntegrity("clip_id", "refs")),
+      refs = Map("refs" -> ClipsTable.refs(spark, sfDir)))
+  }
+
+  def violations(spark: SparkSession, sfDir: String): DataFrame =
+    CheckCompiler.violations(ClipsTable.base(spark, sfDir), suite(spark, sfDir))
+
+  def verdicts(spark: SparkSession, sfDir: String): DataFrame =
+    CheckCompiler.verdicts(ClipsTable.base(spark, sfDir), suite(spark, sfDir))
+
+  /** Per-column stats via the typed StatsAggregator (one scan, two columns,
+    * map-side partials; mean derived as exact-sum / count). */
+  def stats(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val agg = clips.agg(
+      StatsAggregator.numStats(col("sr_hz")).as("s_sr"),
+      StatsAggregator.numStats(col("dur_ms")).as("s_dur"))
+    agg.select(explode(array(
+        struct(lit("sr_hz").as("column_name"),
+          col("s_sr.n_rows").as("n_rows"), col("s_sr.n_nulls").as("n_nulls"),
+          col("s_sr.min_v").as("min_v"), col("s_sr.max_v").as("max_v"),
+          col("s_sr.sum_v").as("sum_v")),
+        struct(lit("dur_ms").as("column_name"),
+          col("s_dur.n_rows").as("n_rows"), col("s_dur.n_nulls").as("n_nulls"),
+          col("s_dur.min_v").as("min_v"), col("s_dur.max_v").as("max_v"),
+          col("s_dur.sum_v").as("sum_v")))).as("s"))
+      .select(col("s.*"))
+      .withColumn("mean_v",
+        round(col("sum_v").cast("double") / (col("n_rows") - col("n_nulls")), 4))
+  }
+
+  /** Exact interpolated percentiles (oracle-checkable; the t-digest variant
+    * below is the sketch path validated against this in tests). */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    val agg = clips.agg(
+      expr(s"percentile(dur_ms, array(${ps.mkString("D,")}D))").as("vs"))
+    agg.select(posexplode(col("vs")).as(Seq("i", "v")))
+      .select(
+        lit("dur_ms").as("column_name"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        round(col("v"), 4).as("v"))
+  }
+
+  /** t-digest quantiles (no SQL oracle — approximate; exactness vs the
+    * `percentile` oracle is asserted within tolerance in ScalaTest). */
+  def tdigest(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    clips.agg(TDigestAggregator.quantiles(col("dur_ms"), ps).as("vs"))
+      .select(posexplode(col("vs")).as(Seq("i", "v")))
+      .select(
+        lit("dur_ms").as("column_name"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        round(col("v"), 4).as("v"))
+  }
+
+  /** Codec distribution drift between even/odd halves: two-sample chi-square
+    * over category counts — one hash aggregate + a 1-row broadcast of totals. */
+  def driftChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val cc = clips.groupBy("codec").agg(
+      count(when(col("ord") % 2 === 0, 1)).as("a"),
+      count(when(col("ord") % 2 === 1, 1)).as("b"))
+    val tot = cc.agg(
+      sum("a").cast("double").as("na"), sum("b").cast("double").as("nb"))
+    val ea = (col("a") + col("b")) * col("na") / (col("na") + col("nb"))
+    val eb = (col("a") + col("b")) * col("nb") / (col("na") + col("nb"))
+    val term = (col("a") - ea) * (col("a") - ea) / ea +
+      (col("b") - eb) * (col("b") - eb) / eb
+    cc.crossJoin(broadcast(tot))
+      .agg(round(sum(term), 4).as("chi2"), (count(lit(1)) - 1).as("dof"))
+  }
+
+  /** dur_ms distribution drift: binned two-sample KS (histogram sketch via
+    * groupBy(bin) — bounded bin count, so the final window is tiny). */
+  def driftKs(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val binned = clips
+      .withColumn("bin", floor(col("dur_ms") / 10).cast("bigint"))
+      .groupBy("bin").agg(
+        count(when(col("ord") % 2 === 0, 1)).as("a"),
+        count(when(col("ord") % 2 === 1, 1)).as("b"))
+    val tot = binned.agg(
+      sum("a").cast("double").as("na"), sum("b").cast("double").as("nb"))
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    binned
+      .withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .crossJoin(broadcast(tot))
+      .agg(round(max(abs(col("ca") / col("na") - col("cb") / col("nb"))), 6).as("ks"))
+  }
+
+  /** Last-write-wins dedup — the reference's "repeated same-shape top-level
+    * object = update, keep newest" (json_parser.py:131-133) as a hash
+    * aggregate: for each duplicated clip_id keep the max ord. */
+  def dedupLww(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    clips.groupBy("clip_id")
+      .agg(max("ord").as("kept_ord"), count(lit(1)).as("n_versions"))
+      .filter(col("n_versions") > 1)
+  }
+
+  private val C = ClipsTable.cte
+
+  val oracles: Map[String, String] = Map(
+    "vc_violations" ->
+      s"""$C
+         |SELECT clip_id, 'not_null_transcript' AS check_name, 'transcript' AS column_name, 'null' AS detail FROM clips WHERE transcript IS NULL
+         |UNION ALL SELECT clip_id, 'not_empty_transcript', 'transcript', 'empty' FROM clips WHERE transcript = ''
+         |UNION ALL SELECT clip_id, 'in_range_sr_hz', 'sr_hz', cast(sr_hz AS VARCHAR) FROM clips WHERE sr_hz < 8000 OR sr_hz > 48000
+         |UNION ALL SELECT clip_id, 'enum_codec', 'codec', codec FROM clips WHERE codec NOT IN ('pcm_s16le','flac','opus','mp3')
+         |UNION ALL SELECT clip_id, 'unique_clip_id', 'clip_id', cast(cnt AS VARCHAR) FROM (SELECT clip_id, count(*) AS cnt FROM clips GROUP BY clip_id HAVING count(*) > 1) d
+         |UNION ALL SELECT c.clip_id, 'ref_clip_id_refs', 'clip_id', 'missing_ref' FROM clips c WHERE NOT EXISTS (SELECT 1 FROM refs r WHERE r.clip_id = c.clip_id)""".stripMargin,
+    "vc_verdicts" ->
+      s"""$C, flagged AS (
+         |  SELECT c.bucket,
+         |    (c.transcript IS NULL) OR (c.transcript = '')
+         |    OR (c.sr_hz < 8000 OR c.sr_hz > 48000)
+         |    OR (c.codec NOT IN ('pcm_s16le','flac','opus','mp3'))
+         |    OR (count(*) OVER (PARTITION BY c.clip_id) > 1)
+         |    OR (r.clip_id IS NULL) AS bad
+         |  FROM clips c LEFT JOIN refs r ON c.clip_id = r.clip_id
+         |)
+         |SELECT bucket, count(*) AS n_rows,
+         |  count(CASE WHEN bad THEN 1 END) AS n_bad,
+         |  count(CASE WHEN bad THEN 1 END) = 0 AS pass
+         |FROM flagged GROUP BY bucket""".stripMargin,
+    "vc_stats" ->
+      s"""$C
+         |SELECT 'sr_hz' AS column_name, count(*) AS n_rows,
+         |  count(CASE WHEN sr_hz IS NULL THEN 1 END) AS n_nulls,
+         |  cast(min(sr_hz) AS BIGINT) AS min_v, cast(max(sr_hz) AS BIGINT) AS max_v,
+         |  cast(sum(sr_hz) AS BIGINT) AS sum_v,
+         |  round(cast(cast(sum(sr_hz) AS BIGINT) AS DOUBLE) / count(sr_hz), 4) AS mean_v
+         |FROM clips
+         |UNION ALL
+         |SELECT 'dur_ms', count(*),
+         |  count(CASE WHEN dur_ms IS NULL THEN 1 END),
+         |  cast(min(dur_ms) AS BIGINT), cast(max(dur_ms) AS BIGINT),
+         |  cast(sum(dur_ms) AS BIGINT),
+         |  round(cast(cast(sum(dur_ms) AS BIGINT) AS DOUBLE) / count(dur_ms), 4)
+         |FROM clips""".stripMargin,
+    "vc_quantiles" ->
+      s"""$C
+         |SELECT 'dur_ms' AS column_name, cast(0.25 AS DOUBLE) AS p, round(cast(quantile_cont(dur_ms, 0.25) AS DOUBLE), 4) AS v FROM clips
+         |UNION ALL SELECT 'dur_ms', cast(0.5 AS DOUBLE), round(cast(quantile_cont(dur_ms, 0.5) AS DOUBLE), 4) FROM clips
+         |UNION ALL SELECT 'dur_ms', cast(0.75 AS DOUBLE), round(cast(quantile_cont(dur_ms, 0.75) AS DOUBLE), 4) FROM clips
+         |UNION ALL SELECT 'dur_ms', cast(0.95 AS DOUBLE), round(cast(quantile_cont(dur_ms, 0.95) AS DOUBLE), 4) FROM clips
+         |UNION ALL SELECT 'dur_ms', cast(0.99 AS DOUBLE), round(cast(quantile_cont(dur_ms, 0.99) AS DOUBLE), 4) FROM clips""".stripMargin,
+    "vc_drift_chi2" ->
+      s"""$C, cc AS (
+         |  SELECT codec,
+         |    count(CASE WHEN ord % 2 = 0 THEN 1 END) AS a,
+         |    count(CASE WHEN ord % 2 = 1 THEN 1 END) AS b
+         |  FROM clips GROUP BY codec
+         |), tot AS (SELECT cast(sum(a) AS DOUBLE) AS na, cast(sum(b) AS DOUBLE) AS nb FROM cc)
+         |SELECT round(sum(
+         |    (a - (a+b)*na/(na+nb)) * (a - (a+b)*na/(na+nb)) / ((a+b)*na/(na+nb))
+         |  + (b - (a+b)*nb/(na+nb)) * (b - (a+b)*nb/(na+nb)) / ((a+b)*nb/(na+nb))
+         |  ), 4) AS chi2,
+         |  count(*) - 1 AS dof
+         |FROM cc, tot""".stripMargin,
+    "vc_drift_ks" ->
+      s"""$C, binned AS (
+         |  SELECT cast(floor(dur_ms / 10) AS BIGINT) AS bin,
+         |    count(CASE WHEN ord % 2 = 0 THEN 1 END) AS a,
+         |    count(CASE WHEN ord % 2 = 1 THEN 1 END) AS b
+         |  FROM clips GROUP BY 1
+         |), tot AS (SELECT cast(sum(a) AS DOUBLE) AS na, cast(sum(b) AS DOUBLE) AS nb FROM binned),
+         |c AS (
+         |  SELECT bin,
+         |    sum(a) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+         |    sum(b) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+         |  FROM binned
+         |)
+         |SELECT round(max(abs(ca/na - cb/nb)), 6) AS ks FROM c, tot""".stripMargin,
+    "vc_dedup_lww" ->
+      s"""$C
+         |SELECT clip_id, max(ord) AS kept_ord, count(*) AS n_versions
+         |FROM clips GROUP BY clip_id HAVING count(*) > 1""".stripMargin
+  )
+}
