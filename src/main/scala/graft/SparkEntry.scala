@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.audio.AudioQueries
 import graft.queries.ClipQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -25,8 +26,12 @@ object SparkEntry {
     "vc_tdigest" -> ((s, d) => ClipQueries.tdigest(s, d)),
     "vc_drift_chi2" -> ((s, d) => ClipQueries.driftChi2(s, d)),
     "vc_drift_ks" -> ((s, d) => ClipQueries.driftKs(s, d)),
-    "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d))
+    "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d)),
+    "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
+    "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
+    "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),
+    "au_features" -> ((s, d) => AudioQueries.features(s, d))
   )
 
-  def oracleSql: Map[String, String] = ClipQueries.oracles
+  def oracleSql: Map[String, String] = ClipQueries.oracles ++ AudioQueries.oracles
 }

@@ -1,0 +1,147 @@
+package graft.audio
+
+/** Minimal WAV PCM16 mono codec + deterministic clip synthesis.
+  *
+  * Synthesis is byte-deterministic across JVMs: StrictMath for the sine, a
+  * 64-bit LCG for noise, PCM16 little-endian, standard 44-byte RIFF header.
+  * The per-row invariant (BASELINE.json `input_hint`) is "decoded-PCM
+  * allclose at SNR≥30 dB vs the reference output" — here the reference
+  * output is the clean resynthesised sine recoverable from (clip_id, sr_hz,
+  * byte length) alone, so the validator needs no side channel.
+  */
+object Wav {
+
+  val HeaderBytes = 44
+  private val Amplitude = 0.6
+  /** Clean clips carry noise at 40 dB SNR; corrupted ones at 10 dB. */
+  val CleanSnrDb = 40.0
+  val CorruptSnrDb = 10.0
+
+  /** Sine frequency recoverable from the numeric clip seed. */
+  def freqOf(seed: Long): Double = 200.0 + (seed % 600)
+
+  private def noiseAmp(snrDb: Double): Double = {
+    // uniform noise in [-a,a): power a^2/3; sine power A^2/2
+    val signalPower = Amplitude * Amplitude / 2.0
+    StrictMath.sqrt(3.0 * signalPower / StrictMath.pow(10.0, snrDb / 10.0))
+  }
+
+  /** Next LCG state (Knuth MMIX constants). */
+  @inline private def lcg(x: Long): Long =
+    x * 6364136223846793005L + 1442695040888963407L
+
+  /** uniform in [-1, 1) from the high 53 bits. */
+  @inline private def unit(x: Long): Double =
+    ((x >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+
+  /** Synthesize one clip. `seed` drives the sine frequency (must equal the
+    * id-recoverable seed); `noiseSeed` the noise stream; `extraMs` shifts
+    * the real byte length vs the declared dur_ms (consistency fixture). */
+  def synth(seed: Long, noiseSeed: Long, srHz: Int, durMs: Int,
+      snrDb: Double = CleanSnrDb, extraMs: Int = 0): Array[Byte] = {
+    val n = (srHz.toLong * (durMs + extraMs) / 1000L).toInt
+    val f = freqOf(seed)
+    val a = noiseAmp(snrDb)
+    val out = new Array[Byte](HeaderBytes + 2 * n)
+    writeHeader(out, srHz, n)
+    var state = lcg(noiseSeed ^ 0x5DEECE66DL)
+    var i = 0
+    while (i < n) {
+      val clean = Amplitude * StrictMath.sin(2.0 * StrictMath.PI * f * i / srHz)
+      state = lcg(state)
+      val sample = clean + a * unit(state)
+      val s = math.max(-1.0, math.min(1.0, sample))
+      val pcm = StrictMath.round(s * 32767.0).toInt.toShort
+      out(HeaderBytes + 2 * i) = (pcm & 0xFF).toByte
+      out(HeaderBytes + 2 * i + 1) = ((pcm >> 8) & 0xFF).toByte
+      i += 1
+    }
+    out
+  }
+
+  private def writeHeader(b: Array[Byte], srHz: Int, nSamples: Int): Unit = {
+    val dataLen = 2 * nSamples
+    def le32(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+      b(off + 2) = ((v >> 16) & 0xFF).toByte; b(off + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def ascii(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (c, i) => b(off + i) = c }
+    ascii(0, "RIFF"); le32(4, 36 + dataLen); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1 /*PCM*/); le16(22, 1 /*mono*/)
+    le32(24, srHz); le32(28, srHz * 2); le16(32, 2); le16(34, 16)
+    ascii(36, "data"); le32(40, dataLen)
+  }
+
+  /** Decode: returns (sampleRate, samples) or None on malformed header. */
+  def decode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || bytes.length < HeaderBytes) return None
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return None
+    val sr = le32(24)
+    val dataLen = math.min(le32(40), bytes.length - HeaderBytes)
+    if (sr <= 0 || dataLen < 0) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) =
+        (((bytes(HeaderBytes + 2 * i) & 0xFF)) |
+          (bytes(HeaderBytes + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Some((sr, samples))
+  }
+
+  /** SNR (dB) of decoded PCM vs the clean resynthesised sine — the per-row
+    * allclose invariant. NaN if undecodable or empty. */
+  def snrVsClean(bytes: Array[Byte], seed: Long): Double = decode(bytes) match {
+    case None => Double.NaN
+    case Some((sr, samples)) if samples.length == 0 => Double.NaN
+    case Some((sr, samples)) =>
+      val f = freqOf(seed)
+      var sigPow = 0.0
+      var noisePow = 0.0
+      var i = 0
+      while (i < samples.length) {
+        val clean = Amplitude * StrictMath.sin(2.0 * StrictMath.PI * f * i / sr)
+        val got = samples(i) / 32767.0
+        val resid = got - clean
+        sigPow += clean * clean
+        noisePow += resid * resid
+        i += 1
+      }
+      if (noisePow == 0.0) Double.PositiveInfinity
+      else 10.0 * StrictMath.log10(sigPow / noisePow)
+  }
+
+  /** Frame-level RMS (frame = `frameMs` ms, non-overlapping, truncating) —
+    * the feature-extraction / frame-sample primitive for binary audio
+    * columns. */
+  def frameRms(bytes: Array[Byte], frameMs: Int): Array[Double] = decode(bytes) match {
+    case None => Array.empty
+    case Some((sr, samples)) =>
+      val frameLen = math.max(1, sr * frameMs / 1000)
+      val nFrames = samples.length / frameLen
+      val out = new Array[Double](nFrames)
+      var fI = 0
+      while (fI < nFrames) {
+        var acc = 0.0
+        var i = fI * frameLen
+        val end = i + frameLen
+        while (i < end) {
+          val v = samples(i) / 32767.0
+          acc += v * v
+          i += 1
+        }
+        out(fI) = StrictMath.sqrt(acc / frameLen)
+        fI += 1
+      }
+      out
+  }
+}

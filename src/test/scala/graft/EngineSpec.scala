@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.audio.AudioQueries
+import graft.queries.ClipQueries
+
+/** Spark integration tests over the deterministic sf0.001 fixture.
+  * Expected sets follow the arithmetic injection rules in ClipsTable. */
+class EngineSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("flagship entry returns verdict rows") {
+    assert(SparkEntry.entry(spark).count() == 32)
+  }
+
+  test("violations contain exactly the injected classes") {
+    val v = ClipQueries.violations(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // ord=89 -> null transcript
+    assert(v.contains(("clip-000000000089", "not_null_transcript")))
+    // ord=113 -> empty transcript
+    assert(v.contains(("clip-000000000113", "not_empty_transcript")))
+    // ord=97 -> sr 7999
+    assert(v.contains(("clip-000000000097", "in_range_sr_hz")))
+    // ord=211 -> codec speex
+    assert(v.contains(("clip-000000000211", "enum_codec")))
+    // ord=101 -> duplicate of clip 102
+    assert(v.contains(("clip-000000000102", "unique_clip_id")))
+    // ord=131 -> withheld from refs
+    assert(v.contains(("clip-000000000131", "ref_clip_id_refs")))
+    val byCheck = v.groupBy(_._2).view.mapValues(_.size).toMap
+    // orderkeys are 0..1499: count of multiples of each injection modulus
+    assert(byCheck("not_null_transcript") == 17)   // k % 89 == 0
+    assert(byCheck("in_range_sr_hz") == 16)        // k % 97 == 0
+    assert(byCheck("enum_codec") == 8)             // k % 211 == 0
+  }
+
+  test("verdict totals are consistent with the violation table") {
+    val verd = ClipQueries.verdicts(spark, sfDir).collect()
+    assert(verd.map(_.getLong(1)).sum == 1500)
+    assert(verd.forall(r => (r.getLong(2) == 0) == r.getBoolean(3)))
+  }
+
+  test("t-digest quantiles track exact percentiles within 2%") {
+    val exact = ClipQueries.quantiles(spark, sfDir)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val sketch = ClipQueries.tdigest(spark, sfDir)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    exact.foreach { case (p, ev) =>
+      assert(math.abs(sketch(p) - ev) / math.max(1.0, ev) < 0.02,
+        s"p=$p exact=$ev sketch=${sketch(p)}")
+    }
+  }
+
+  test("audio SNR violations are exactly the ord%149 rows") {
+    val got = AudioQueries.snrViolations(spark, sfDir)
+      .collect().map(_.getString(0)).sorted
+    val expected = (0 until 1500).filter(_ % 149 == 0)
+      .map(k => f"clip-${if (k % 101 == 0) k + 1 else k}%012d").sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("duration mismatches are exactly the ord%157 rows") {
+    val got = AudioQueries.durMismatch(spark, sfDir).collect()
+    assert(got.length == (0 until 1500).count(_ % 157 == 0))
+    got.foreach(r => assert(r.getLong(2) > 0))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.agg.{Drift, TDigest}
+import graft.audio.Wav
+
+/** No-Spark unit tests: WAV codec round-trip, SNR invariant separation,
+  * t-digest quantile accuracy + merge associativity, drift math. */
+class PureSpec extends AnyFunSuite {
+
+  test("wav synth/decode round-trip preserves sr and sample count") {
+    val b = Wav.synth(seed = 42, noiseSeed = 42, srHz = 16000, durMs = 100)
+    val Some((sr, samples)) = Wav.decode(b)
+    assert(sr == 16000)
+    assert(samples.length == 1600)
+  }
+
+  test("clean clip SNR is ~40 dB, corrupted ~10 dB; threshold 30 separates") {
+    val clean = Wav.synth(7, 7, 22050, 120, snrDb = Wav.CleanSnrDb)
+    val bad = Wav.synth(7, 7, 22050, 120, snrDb = Wav.CorruptSnrDb)
+    val sClean = Wav.snrVsClean(clean, 7)
+    val sBad = Wav.snrVsClean(bad, 7)
+    assert(sClean > 35.0 && sClean < 45.0, s"clean snr=$sClean")
+    assert(sBad > 5.0 && sBad < 15.0, s"bad snr=$sBad")
+  }
+
+  test("synthesis is byte-deterministic") {
+    val a = Wav.synth(99, 99, 44100, 50)
+    val b = Wav.synth(99, 99, 44100, 50)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("decode rejects garbage") {
+    assert(Wav.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Wav.decode("not a wav header at all padding padding!!".getBytes).isEmpty)
+    assert(Wav.decode(null).isEmpty)
+  }
+
+  test("frameRms counts frames by truncating division") {
+    val b = Wav.synth(5, 5, 16000, 105) // 1680 samples, 320/frame -> 5 frames
+    assert(Wav.frameRms(b, 20).length == 5)
+  }
+
+  test("t-digest quantiles within 1% of exact on uniform data") {
+    val xs = (1 to 10000).map(_.toLong)
+    var buf = TDigest.empty()
+    xs.foreach(x => buf = TDigest.add(buf, x.toDouble))
+    Seq(0.25, 0.5, 0.75, 0.95, 0.99).foreach { p =>
+      val est = TDigest.quantile(buf, p)
+      val exact = 1 + p * 9999
+      assert(math.abs(est - exact) / exact < 0.01, s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("t-digest merge of shards ~ single digest (partial+final agg path)") {
+    val xs = (1 to 20000).map(i => ((i * 2654435761L) % 10007).toDouble)
+    val shards = xs.grouped(1000).map { g =>
+      var b = TDigest.empty(); g.foreach(x => b = TDigest.add(b, x)); b
+    }
+    val merged = shards.reduce(TDigest.merge)
+    val sorted = xs.sorted
+    Seq(0.5, 0.95).foreach { p =>
+      val est = TDigest.quantile(merged, p)
+      val exact = sorted(((sorted.length - 1) * p).toInt)
+      assert(math.abs(est - exact) / 10007.0 < 0.01, s"p=$p est=$est exact=$exact")
+    }
+  }
+
+  test("chi-square: identical distributions -> 0; disjoint -> large") {
+    val a = Map("x" -> 100L, "y" -> 200L)
+    assert(Drift.chiSquare(a, a)._1 == 0.0)
+    val (stat, dof) = Drift.chiSquare(Map("x" -> 100L), Map("y" -> 100L))
+    assert(stat > 100.0 && dof == 1)
+  }
+
+  test("binned KS: equal hists -> 0, shifted -> 1") {
+    assert(Drift.ksBinned(Array(10L, 10L), Array(10L, 10L)) == 0.0)
+    assert(Drift.ksBinned(Array(10L, 0L), Array(0L, 10L)) == 1.0)
+  }
+}
