@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.audio.AudioQueries
-import graft.queries.{ClipQueries, DocQueries}
+import graft.queries.{ClipQueries, DocQueries, RepairQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry in [[queries]] is one operator from SURVEY.md §2 / the north
@@ -31,8 +31,11 @@ object SparkEntry {
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),
     "au_features" -> ((s, d) => AudioQueries.features(s, d))
-  ) ++ DocQueries.queries
+  ) ++ DocQueries.queries ++ Map[String, (SparkSession, String) => DataFrame](
+    "jr_valid" -> ((s, d) => RepairQueries.valid(s, d)),
+    "jr_repair" -> ((s, d) => RepairQueries.repaired(s, d))
+  )
 
   def oracleSql: Map[String, String] =
-    ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles
+    ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles ++ RepairQueries.oracles
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.repair.{JsonRepair, PyJson}
+
+/** `json_repair(s)` as a native Catalyst expression: per-row repair of
+  * malformed JSON (fast strict-parse path first — the reference's
+  * json.loads fast path — then the full repair state machine). Null-safe;
+  * evaluated inside the generated plan with no (de)serialization beyond
+  * UTF8String <-> String. */
+case class JsonRepairExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(JsonRepair.repair(input.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(newChild: Expression): JsonRepairExpr =
+    copy(child = newChild)
+}
+
+/** `json_strict_valid(s)`: true iff the string parses under the strict
+  * (CPython json.loads) grammar — the validator fast-path predicate. */
+case class JsonStrictValidExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(PyJson.loads(input.asInstanceOf[UTF8String].toString).isDefined)
+  override protected def withNewChildInternal(newChild: Expression): JsonStrictValidExpr =
+    copy(child = newChild)
+}
+
+object JsonRepairFunctions {
+  /** Register both functions in the session registry; returns nothing. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_repair", exprs => JsonRepairExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_strict_valid", exprs => JsonStrictValidExpr(exprs.head), "scala_udf")
+  }
+
+  def jsonRepair(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("json_repair", c)
+  }
+
+  def jsonStrictValid(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("json_strict_valid", c)
+  }
+}

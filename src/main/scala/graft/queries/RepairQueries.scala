@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.JsonRepairFunctions
+
+/** JSON repair/validation over the `events.props` column. Malformations are
+  * injected deterministically by `event_id % 5` so the DuckDB oracle can
+  * construct the identical inputs; every malformation class repairs back to
+  * the original canonical `props` text, which gives the repair engine a
+  * genuine SQL oracle (repaired == props).
+  *
+  * Classes (reference anchors): 0 = unterminated object (parse_object loop
+  * exit), 1 = single quotes (parse_string delimiter select), 2 = markdown
+  * code fence (suffix fast path / LLM block), 3 = trailing comma (array/
+  * object separator tolerance), 4 = already valid (json.loads fast path).
+  */
+object RepairQueries {
+
+  private def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/events.parquet")
+
+  /** The malformed column, shared Spark/DuckDB shape. */
+  private def malformed: Column = {
+    val m = col("event_id") % 5
+    when(m === 0, rtrim(col("props"), "}"))
+      .when(m === 1, replace(col("props"), lit("\""), lit("'")))
+      .when(m === 2, concat(lit("```json\n"), col("props"), lit("\n```")))
+      .when(m === 3, replace(col("props"), lit("}"), lit(",}")))
+      .otherwise(col("props"))
+  }
+
+  /** Strict-validity verdict per row (the validator fast-path predicate). */
+  def valid(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id"),
+      JsonRepairFunctions.jsonStrictValid(spark, malformed).as("valid"))
+
+  /** Repaired text per row; every class must round-trip to the original. */
+  def repaired(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("event_id"),
+      JsonRepairFunctions.jsonRepair(spark, malformed).as("repaired"))
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB's json_valid tolerates trailing commas; the reference's strict
+    // grammar (CPython json.loads) does not — so the oracle states the
+    // expected verdict from the injection rule: only the untouched class is
+    // valid, given props is canonical JSON (checked by json_valid there).
+    "jr_valid" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 5 = 4 THEN json_valid(props) ELSE false END AS valid
+        |FROM events""".stripMargin,
+    "jr_repair" ->
+      """SELECT event_id, props AS repaired FROM events""".stripMargin
+  )
+}

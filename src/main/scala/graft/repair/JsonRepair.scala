@@ -1,0 +1,43 @@
+package graft.repair
+
+/** Public repair API mirroring the reference's `repair_json`
+  * (json_repair.py:100-230, string-output path):
+  *   1. fast path: strict parse (Python `json.loads` grammar) — valid input
+  *      is re-serialised without entering the repair machinery;
+  *   2. repair path: [[RepairParser]];
+  *   3. a bare empty-string result returns "" (not "\"\"") — the
+  *      reference's empty-string special case (json_repair.py:224-225).
+  */
+object JsonRepair {
+
+  /** Repaired JSON text (Python `json.dumps` formatting). */
+  def repair(input: String, skipJsonLoads: Boolean = false): String = {
+    val value = repairToValue(input, skipJsonLoads)
+    value match {
+      case JStr("") => ""
+      case v => PyJson.dumps(v)
+    }
+  }
+
+  /** Repaired value (the `return_objects=True` path). */
+  def repairToValue(input: String, skipJsonLoads: Boolean = false): JsonValue = {
+    if (!skipJsonLoads) {
+      PyJson.loads(input) match {
+        case Some(v) => return v
+        case None =>
+      }
+    }
+    RepairParser.repairToValue(input)
+  }
+
+  /** Validator mode (reference strict=True): Right(value) if the input is
+    * accepted, Left(violation message) if a repair heuristic would fire. */
+  def validate(input: String): Either[String, JsonValue] = {
+    PyJson.loads(input) match {
+      case Some(v) => Right(v)
+      case None =>
+        try Right(RepairParser.repairToValue(input, strict = true))
+        catch { case e: RepairParser.StrictError => Left(e.getMessage) }
+    }
+  }
+}

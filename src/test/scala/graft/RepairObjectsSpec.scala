@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.repair._
+
+/** `return_objects=True` golden pairs (expected values serialized with
+  * Python json.dumps at extraction time) + the strict-mode violation
+  * catalog (reference tests/test_strict_mode.py). */
+class RepairObjectsSpec extends AnyFunSuite {
+
+  private def loadJson(resource: String): JsonValue = {
+    val raw = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(resource), "UTF-8").mkString
+    PyJson.loads(raw).getOrElse(fail(s"cannot parse $resource"))
+  }
+
+  test("return_objects corpus: repaired value serializes to the expected dumps") {
+    val JArr(items) = loadJson("/repair_objects_corpus.json")
+    val failures = items.toSeq.flatMap {
+      case JObj(f) =>
+        val input = f("input").asInstanceOf[JStr].value
+        val expected = f("expected_dumps").asInstanceOf[JStr].value
+        val skip = f("skip_json_loads") == JBool(true)
+        val got =
+          try PyJson.dumps(JsonRepair.repairToValue(input, skipJsonLoads = skip))
+          catch { case e: Throwable => s"<exception: ${e.getMessage}>" }
+        if (got == expected) None else Some(s"input=$input\n  expected=$expected\n  got=$got")
+      case _ => None
+    }
+    info(s"objects corpus: ${items.size - failures.size}/${items.size}")
+    if (failures.nonEmpty) fail(failures.take(20).mkString("\n"))
+  }
+
+  test("strict mode rejects every catalogued malformation") {
+    val JArr(items) = loadJson("/strict_corpus.json")
+    items.foreach {
+      case JObj(f) =>
+        val input = f("input").asInstanceOf[JStr].value
+        if (f("raises") == JBool(true)) {
+          assert(JsonRepair.validate(input).isLeft, s"expected rejection for: $input")
+        }
+      case _ =>
+    }
+  }
+
+  test("strict mode accepts valid JSON") {
+    assert(JsonRepair.validate("""{"key": "value", "n": [1, 2.5, null, true]}""").isRight)
+  }
+}
