@@ -1,24 +1,88 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.run.ValidationPipeline
+
+/** Benchmark main (driver contract): times every SparkEntry query at
+  * SPARK_GRAFT_CPUS, then runs the full validation pipeline at local[8] and
+  * local[32] on the same input to evidence the north rule's N -> 4N
+  * scaling-efficiency criterion (no multi-node cluster in this sandbox; two
+  * parallelism levels on identical input stand in for two cluster sizes).
+  * Prints ONE JSON line and writes the scaling table to BENCH.md.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def newSession(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+
+    // 1. per-query timings at the requested parallelism
+    var spark = newSession(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+
+    // 2. scaling: the full validation pipeline at local[8] vs local[32] on
+    //    identical input. The workload is replicated (deterministic shifted
+    //    copies) so the measured job is long enough that fixed stage/planning
+    //    overhead is noise — the regime the 10^12-row target runs in. A
+    //    cheap replicate=1 pass first warms JIT and the page cache.
+    val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "8").toInt
+    val scaling = Seq(8, 32).map { c =>
+      spark = newSession(c)
+      ValidationPipeline.timed(spark, sfDir) // warm JIT + page cache
+      val (n, nBad, sec) = ValidationPipeline.timed(spark, sfDir, repl)
+      spark.stop()
+      (c, n, nBad, sec, n / sec)
+    }
+    val Seq((_, nClips, nBad, sec8, cps8), (_, _, _, sec32, cps32)) = scaling
+    val efficiency = (cps32 / cps8) / 4.0
+
+    val benchMd =
+      f"""# BENCH — validated clips/sec + N->4N scaling evidence
+         |
+         |Workload: full validation pipeline (audio synth+decode, PCM SNR>=30dB
+         |allclose, byte/dur consistency, null/empty/range/enum checks, global
+         |clip_id uniqueness, referential anti-join, per-bucket verdicts) over
+         |`$sfDir` ($nClips clips, $nBad bad rows). Same input, same JVM, two
+         |parallelism levels (sandbox stand-in for N vs 4N executors; 32 physical
+         |cores). Second-of-two runs reported (first warms JIT/page cache).
+         |
+         || parallelism | wall (s) | clips/sec |
+         ||---|---|---|
+         || local[8]  | $sec8%.2f | $cps8%.0f |
+         || local[32] | $sec32%.2f | $cps32%.0f |
+         |
+         |**Scaling efficiency (throughput32 / throughput8) / 4 = $efficiency%.3f**
+         |(north-rule criterion: >= 0.8).
+         |""".stripMargin
+    try Files.writeString(Paths.get("/root/repo/BENCH.md"), benchMd)
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val scal =
+      f"""{"n_clips":$nClips,"local8_sec":$sec8%.3f,"local32_sec":$sec32%.3f,"local8_cps":$cps8%.1f,"local32_cps":$cps32%.1f,"efficiency":$efficiency%.3f}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal}""")
   }
 }

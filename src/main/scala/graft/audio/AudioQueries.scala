@@ -33,10 +33,21 @@ object AudioQueries {
   /** Numeric seed recoverable from the clip id ("clip-%012d"). */
   def seedOf(clipId: String): Long = clipId.substring(5).toLong
 
-  /** clips + deterministic synthesized bytes (typed map over the metadata). */
-  def full(spark: SparkSession, sfDir: String): Dataset[ClipFull] = {
+  /** clips + deterministic synthesized bytes (typed map over the metadata).
+    * The small test parquet arrives as one input split, which would pin the
+    * CPU-heavy synth/decode map to one task — repartition to the session's
+    * parallelism first (a production-size table gets this fan-out for free
+    * from its file splits; the explicit repartition keeps the plan honest
+    * at any input size). */
+  def full(spark: SparkSession, sfDir: String): Dataset[ClipFull] =
+    fullFrom(spark, ClipsTable.base(spark, sfDir))
+
+  /** Same, over an arbitrary clips-shaped metadata frame. */
+  def fullFrom(spark: SparkSession, meta: org.apache.spark.sql.DataFrame): Dataset[ClipFull] = {
     import spark.implicits._
-    ClipsTable.base(spark, sfDir).as[ClipMeta].map { m =>
+    meta
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[ClipMeta].map { m =>
       val snr = if (m.ord % 149 == 0) Wav.CorruptSnrDb else Wav.CleanSnrDb
       val extra = if (m.ord % 157 == 0) 7 else 0
       val bytes = Wav.synth(seedOf(m.clip_id), m.ord, m.sr_hz, m.dur_ms, snr, extra)

@@ -16,22 +16,29 @@ import graft.dsl._
   * (with capture columns) and `verdicts` (flags only, no string building) —
   * instead of guarding per-row.
   *
+  * `scope` restricts which rows are REPORTED (the resume path recomputes
+  * only unfinished buckets) while dataset-level checks (uniqueness,
+  * referential) always evaluate over the FULL input — a duplicate pair
+  * spanning a completed and an unfinished bucket must still be caught.
+  * Uniqueness violations are attributed to the min bucket of the group
+  * (their "owner"), so each is reported exactly once across batches.
+  *
   * Scale notes (100 TB):
   *   - row checks: zero shuffle, whole-stage-codegen'd `CASE WHEN` chains.
-  *   - uniqueness: hash aggregate on the key — Spark's partial aggregation is
-  *     the salting/pre-agg; AQE (`skewJoin`/`coalescePartitions`) handles hot
-  *     keys; enabled in runner config.
-  *   - referential: LEFT ANTI join on the key; broadcast if the ref side fits
-  *     under `autoBroadcastJoinThreshold`, else sort-merge. The verdict path
-  *     reuses the same clip_id shuffle for the dup-window and the ref join
-  *     (one exchange, two consumers).
+  *   - uniqueness: hash aggregate on the key — Spark's partial aggregation
+  *     is the pre-agg; AQE handles hot keys.
+  *   - referential: LEFT ANTI join on the key; broadcast under the
+  *     threshold, else sort-merge. The verdict path reuses the clip_id
+  *     shuffle for both the dup-window and the ref join.
   */
 object CheckCompiler {
 
-  /** One struct per failing row-check, null otherwise; exploded to violation
-    * rows. `array_compact` keeps the explode from emitting nulls. */
-  def violations(df: DataFrame, suite: CheckSuite): DataFrame = {
+  /** One struct per failing check, exploded to violation rows.
+    * `scope` = the set of buckets to report on (None = all). */
+  def violations(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame = {
     val key = col(suite.keyColumn)
+    val scoped = scope.map(b => df.filter(col(suite.bucketColumn).isin(b: _*))).getOrElse(df)
+
     val rowViol: Option[DataFrame] =
       if (suite.rowChecks.isEmpty) None
       else Some {
@@ -42,14 +49,18 @@ object CheckCompiler {
               lit(c.column).as("column_name"),
               coalesce(c.detail, lit("")).as("detail")))
         }
-        df.select(key.as("clip_id"), explode(array_compact(array(structs: _*))).as("v"))
+        scoped.select(key.as("clip_id"), explode(array_compact(array(structs: _*))).as("v"))
           .select(col("clip_id"), col("v.check_name"), col("v.column_name"), col("v.detail"))
       }
 
     val uniqViol: Seq[DataFrame] = suite.uniqueChecks.map { u =>
-      df.groupBy(col(u.column).as("clip_id"))
-        .agg(count(lit(1)).as("cnt"))
+      val grouped = df.groupBy(col(u.column).as("clip_id"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col(suite.bucketColumn)).as("__owner"))
         .filter(col("cnt") > 1)
+      scope.map(b => grouped.filter(col("__owner").isin(b: _*)))
+        .getOrElse(grouped)
         .select(
           col("clip_id"),
           lit(u.name).as("check_name"),
@@ -59,7 +70,7 @@ object CheckCompiler {
 
     val refViol: Seq[DataFrame] = suite.refChecks.map { r =>
       val refDf = suite.refs(r.refName)
-      df.join(refDf, df(r.column) === refDf(refDf.columns.head), "left_anti")
+      scoped.join(refDf, scoped(r.column) === refDf(refDf.columns.head), "left_anti")
         .select(
           col(r.column).as("clip_id"),
           lit(r.name).as("check_name"),
@@ -71,9 +82,9 @@ object CheckCompiler {
   }
 
   /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
-    * its key is duplicated, or its key is missing from the ref table.
-    * One clip_id shuffle serves both the dup-window and the ref join. */
-  def verdicts(df: DataFrame, suite: CheckSuite): DataFrame = {
+    * its key is duplicated (globally), or its key is missing from the ref
+    * table. One clip_id shuffle serves the dup-window and the ref join. */
+  def verdicts(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame = {
     val rowBad: Column =
       suite.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
 
@@ -96,7 +107,8 @@ object CheckCompiler {
           suite.refChecks.map(r => col(s"__miss_${r.name}")))
     val bad = badCols.reduce(_ || _)
 
-    cur.withColumn("__bad", bad)
+    scope.map(b => cur.filter(col(suite.bucketColumn).isin(b: _*))).getOrElse(cur)
+      .withColumn("__bad", bad)
       .groupBy(col(suite.bucketColumn).as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),
