@@ -33,7 +33,8 @@ object SparkEntry {
     "au_features" -> ((s, d) => AudioQueries.features(s, d))
   ) ++ DocQueries.queries ++ Map[String, (SparkSession, String) => DataFrame](
     "jr_valid" -> ((s, d) => RepairQueries.valid(s, d)),
-    "jr_repair" -> ((s, d) => RepairQueries.repaired(s, d))
+    "jr_repair" -> ((s, d) => RepairQueries.repaired(s, d)),
+    "jr_schema" -> ((s, d) => RepairQueries.schemaRepaired(s, d))
   )
 
   def oracleSql: Map[String, String] =

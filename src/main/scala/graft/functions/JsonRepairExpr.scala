@@ -33,6 +33,27 @@ case class JsonStrictValidExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** `json_repair_schema(s)` — schema-guided repair (the reference's
+  * `loads(s, schema=...)` typed layer): parse/repair then coerce + validate
+  * against the JSON Schema supplied at plan time (compiled once on the
+  * driver, reference validator-cache analogue). Rows that cannot satisfy
+  * the schema yield null (the per-row reject verdict). */
+case class JsonSchemaRepairExpr(child: Expression, schemaJson: String, salvage: Boolean)
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val schema: graft.repair.JsonValue =
+    PyJson.loads(schemaJson).getOrElse(
+      throw new IllegalArgumentException("invalid schema json"))
+  @transient private lazy val mode =
+    if (salvage) graft.repair.SchemaRepair.Salvage else graft.repair.SchemaRepair.Standard
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    try UTF8String.fromString(PyJson.dumps(
+      graft.repair.SchemaRepair.loads(input.asInstanceOf[UTF8String].toString, schema, mode)))
+    catch { case _: graft.repair.SchemaRepair.RepairError => null }
+  override protected def withNewChildInternal(newChild: Expression): JsonSchemaRepairExpr =
+    copy(child = newChild)
+}
+
 object JsonRepairFunctions {
   /** Register both functions in the session registry; returns nothing. */
   def register(spark: SparkSession): Unit = {
@@ -50,5 +71,13 @@ object JsonRepairFunctions {
   def jsonStrictValid(spark: SparkSession, c: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("json_strict_valid", c)
+  }
+
+  def jsonRepairSchema(spark: SparkSession, c: Column, schemaJson: String,
+      salvage: Boolean = false): Column = {
+    val name = s"json_repair_schema_${math.abs(schemaJson.hashCode)}_$salvage"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => JsonSchemaRepairExpr(exprs.head, schemaJson, salvage), "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, c)
   }
 }

@@ -43,7 +43,27 @@ object RepairQueries {
       col("event_id"),
       JsonRepairFunctions.jsonRepair(spark, malformed).as("repaired"))
 
+  /** Schema-guided repair (the typed layer): quoted/missing/mixed-quote
+    * payloads coerced back to canonical `{"k": <int>}` under a required-int
+    * schema; rows that cannot satisfy the schema (missing required) become
+    * NULL — the per-row reject verdict. */
+  def schemaRepaired(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = col("event_id") % 3
+    val quotedInt = replace(replace(col("props"), lit(": "), lit(": \"")), lit("}"), lit("\"}"))
+    val malformed2 = when(m === 0, quotedInt)
+      .when(m === 1, lit("{}"))
+      .otherwise(replace(quotedInt, lit("\""), lit("'")))
+    val schema = """{"type": "object", "properties": {"k": {"type": "integer"}}, "required": ["k"]}"""
+    events(spark, sfDir).select(
+      col("event_id"),
+      JsonRepairFunctions.jsonRepairSchema(spark, malformed2, schema).as("repaired"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "jr_schema" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 3 = 1 THEN NULL ELSE props END AS repaired
+        |FROM events""".stripMargin,
     // DuckDB's json_valid tolerates trailing commas; the reference's strict
     // grammar (CPython json.loads) does not — so the oracle states the
     // expected verdict from the injection rule: only the untouched class is

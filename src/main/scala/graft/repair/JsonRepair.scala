@@ -10,9 +10,12 @@ package graft.repair
   */
 object JsonRepair {
 
-  /** Repaired JSON text (Python `json.dumps` formatting). */
-  def repair(input: String, skipJsonLoads: Boolean = false): String = {
-    val value = repairToValue(input, skipJsonLoads)
+  /** Repaired JSON text (Python `json.dumps` formatting). `streamStable`
+    * keeps repairs prefix-stable for accumulating LLM streams (reference
+    * M3, json_parser.py:82-87). */
+  def repair(input: String, skipJsonLoads: Boolean = false,
+      streamStable: Boolean = false): String = {
+    val value = repairToValue(input, skipJsonLoads, streamStable)
     value match {
       case JStr("") => ""
       case v => PyJson.dumps(v)
@@ -20,14 +23,15 @@ object JsonRepair {
   }
 
   /** Repaired value (the `return_objects=True` path). */
-  def repairToValue(input: String, skipJsonLoads: Boolean = false): JsonValue = {
+  def repairToValue(input: String, skipJsonLoads: Boolean = false,
+      streamStable: Boolean = false): JsonValue = {
     if (!skipJsonLoads) {
       PyJson.loads(input) match {
         case Some(v) => return v
         case None =>
       }
     }
-    RepairParser.repairToValue(input)
+    RepairParser.repairToValue(input, streamStable = streamStable)
   }
 
   /** Validator mode (reference strict=True): Right(value) if the input is

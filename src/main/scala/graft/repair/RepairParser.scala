@@ -34,11 +34,12 @@ object RepairParser {
   private val NumberChars = "0123456789-.eE/,_"
 
   def repairToValue(input: String, strict: Boolean = false,
-      tryValidJsonSuffix: Boolean = true): JsonValue =
-    new RepairParser(input, strict, tryValidJsonSuffix).parse()
+      tryValidJsonSuffix: Boolean = true, streamStable: Boolean = false): JsonValue =
+    new RepairParser(input, strict, tryValidJsonSuffix, streamStable).parse()
 }
 
-final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boolean) {
+final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boolean,
+    streamStable: Boolean = false) {
   import RepairParser._
 
   private var s: String = input // mutated by two repairs (splice/normalize)
@@ -1331,7 +1332,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           continueLoop = true
         }
       }
-      if (!break && !continueLoop && ctxCurrent == CtxValue && char == ',' &&
+      if (!break && !continueLoop && !streamStable && ctxCurrent == CtxValue && char == ',' &&
           !st.pendingInlineContainer && st.inlineStack.isEmpty) {
         val classification =
           if (st.noFutureDelimiter) "string" else classifyObjectValueComma(st)
@@ -1350,7 +1351,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           continueLoop = true
         }
       }
-      if (!break && !continueLoop && ctxCurrent == CtxValue && char == '}' &&
+      if (!break && !continueLoop && !streamStable && ctxCurrent == CtxValue && char == '}' &&
           (st.acc.isEmpty || st.acc.last != outerR)) {
         if (st.unmatchedOpeningBraces > 0) {
           st.append(char.toString); index += 1; char = at()
@@ -1389,7 +1390,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           if (!break && rDelimMissing) break = true
         }
       }
-      if (!break && !continueLoop && char == ']' && ctxHas(CtxArr) &&
+      if (!break && !continueLoop && !streamStable && char == ']' && ctxHas(CtxArr) &&
           (st.acc.isEmpty || st.acc.last != outerR)) {
         val i = skipToCharacter(outerR.toString)
         if (at(i) == NUL) break = true
@@ -1408,7 +1409,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         st.append(char.toString)
         index += 1
         char = at()
-        if (char == NUL) break = true
+        if (char == NUL) {
+          if (streamStable && st.acc.nonEmpty && st.acc.last == '\\') st.replaceLast("")
+          break = true
+        }
         if (!break && st.acc.nonEmpty && st.acc.last == '\\') {
           val (handled, c2) = normalizeEscapeSequence(st, char)
           char = c2
@@ -1470,11 +1474,11 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     }
     var result = st.acc.toString
     if (char != outerR) {
-      result = rstrip(result)
+      if (!streamStable) result = rstrip(result)
     } else {
       index += 1
     }
-    if (st.missingQuotes || (result.nonEmpty && result.last == '\n')) {
+    if (!streamStable && (st.missingQuotes || (result.nonEmpty && result.last == '\n'))) {
       result = rstrip(result)
     }
     JStr(result)

@@ -47,4 +47,19 @@ class RepairObjectsSpec extends AnyFunSuite {
   test("strict mode accepts valid JSON") {
     assert(JsonRepair.validate("""{"key": "value", "n": [1, 2.5, null, true]}""").isRight)
   }
+
+  test("stream_stable mode keeps repairs prefix-stable (reference test_stream_stable)") {
+    // default (unstable) behavior
+    assert(JsonRepair.repair("{\"key\": \"val\\") == "{\"key\": \"val\\\\\"}")
+    assert(JsonRepair.repair("{\"key\": \"val\\n") == "{\"key\": \"val\"}")
+    assert(JsonRepair.repair("{\"key\": \"val\\n123,`key2:value2") ==
+      "{\"key\": \"val\\n123\", \"key2\": \"value2\"}")
+    // stream_stable = true
+    assert(JsonRepair.repair("{\"key\": \"val\\", streamStable = true) == "{\"key\": \"val\"}")
+    assert(JsonRepair.repair("{\"key\": \"val\\n", streamStable = true) == "{\"key\": \"val\\n\"}")
+    assert(JsonRepair.repair("{\"key\": \"val\\n123,`key2:value2", streamStable = true) ==
+      "{\"key\": \"val\\n123,`key2:value2\"}")
+    assert(JsonRepair.repair("{\"key\": \"val\\n123,`key2:value2`\"}", streamStable = true) ==
+      "{\"key\": \"val\\n123,`key2:value2`\"}")
+  }
 }
