@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.JsonRepairFunctions
+
+/** Streaming validation — the dataset-level analogue of the reference's
+  * stream-stable mode (M3): validate/repair records as they arrive, with
+  * event-time windows + watermarks for late data, and exactly-once verdict
+  * aggregation via Spark's streaming state store.
+  *
+  * The payload column (`props`) is run through the same Catalyst
+  * expressions as the batch path (`json_strict_valid` / `json_repair`) —
+  * one validation engine, two execution modes.
+  */
+object StreamingValidation {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType), // parquet timestamp[us] without tz
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-streaming source over the events parquet (each file = one
+    * micro-batch at test scale; a production stream replaces the source
+    * with Kafka/rate without touching the transforms). */
+  def source(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // file source wants a dir
+      .parquet(sfDir)
+
+  /** Per-event validity stream: the same deterministic malformation classes
+    * as the batch jr_* queries, validated by the strict-grammar expression
+    * and repaired by the repair expression. */
+  def validated(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = col("event_id") % 5
+    val malformed = when(m === 0, rtrim(col("props"), "}"))
+      .when(m === 1, replace(col("props"), lit("\""), lit("'")))
+      .when(m === 2, concat(lit("```json\n"), col("props"), lit("\n```")))
+      .when(m === 3, replace(col("props"), lit("}"), lit(",}")))
+      .otherwise(col("props"))
+    source(spark, sfDir).select(
+      col("event_id"),
+      // watermarks require TIMESTAMP (LTZ); UTC session makes the cast exact
+      col("ts").cast(TimestampType).as("ts"),
+      col("event_type"),
+      JsonRepairFunctions.jsonStrictValid(spark, malformed).as("valid"),
+      JsonRepairFunctions.jsonRepair(spark, malformed).as("repaired"))
+  }
+
+  /** Watermarked 1-hour windowed verdicts per event_type: rows observed,
+    * invalid payloads, repaired-to-canonical count. Late events beyond the
+    * 2-hour watermark are dropped from the aggregation state. */
+  def windowedVerdicts(spark: SparkSession, sfDir: String): DataFrame =
+    validated(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(!col("valid"), lit(1))).as("n_invalid"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_rows"), col("n_invalid"))
+}

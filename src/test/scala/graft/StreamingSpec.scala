@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingValidation
+
+/** Streaming validation: the memory-sink batch must equal the batch-mode
+  * computation over the same parquet (one engine, two execution modes). */
+class StreamingSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("windowed streaming verdicts equal the batch aggregation") {
+    val q = StreamingValidation.windowedVerdicts(spark, sfDir)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_verdicts")
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // append mode only emits closed windows; recompute the batch equivalent
+    // and compare the emitted subset row-for-row
+    val streamed = spark.table("stream_verdicts")
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val m = col("event_id") % 5
+    val malformed = when(m === 0, rtrim(col("props"), "}"))
+      .when(m === 1, replace(col("props"), lit("\""), lit("'")))
+      .when(m === 2, concat(lit("```json\n"), col("props"), lit("\n```")))
+      .when(m === 3, replace(col("props"), lit("}"), lit(",}")))
+      .otherwise(col("props"))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("ts").cast("timestamp").as("ts"), col("event_type"),
+        graft.functions.JsonRepairFunctions.jsonStrictValid(spark, malformed).as("valid"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"), count(when(!col("valid"), lit(1))).as("n_invalid"))
+      .select(col("window.start"), col("event_type"), col("n_rows"), col("n_invalid"))
+      .collect().map(r => (String.valueOf(r.get(0)), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(streamed.nonEmpty, "stream emitted no closed windows")
+    assert(streamed.subsetOf(batch),
+      s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
+  }
+}
