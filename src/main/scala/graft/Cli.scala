@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.repair._
+
+/** CLI entry mirroring the reference's `cli()` (json_repair.py:338-480):
+  * repair a file or stdin, print (indent=2 by default) or write inline /
+  * to a target file; strict and schema modes with the same mutual-exclusion
+  * rules and 0/1 exit codes.
+  */
+object Cli {
+
+  final case class Args(
+      filename: Option[String] = None,
+      inline: Boolean = false,
+      output: Option[String] = None,
+      ensureAscii: Boolean = false,
+      indent: Int = 2,
+      skipJsonLoads: Boolean = false,
+      schema: Option[String] = None,
+      strict: Boolean = false,
+      salvage: Boolean = false)
+
+  def main(argv: Array[String]): Unit = sys.exit(run(argv, () => {
+    scala.io.Source.stdin.mkString
+  }))
+
+  /** Returns the exit code; side effects = stdout/stderr/file writes. */
+  def run(argv: Array[String], readStdin: () => String): Int = {
+    var a = Args()
+    var i = 0
+    try {
+      while (i < argv.length) {
+        argv(i) match {
+          case "-i" | "--inline" => a = a.copy(inline = true)
+          case "-o" | "--output" => i += 1; a = a.copy(output = Some(argv(i)))
+          case "--ensure_ascii" => a = a.copy(ensureAscii = true)
+          case "--indent" => i += 1; a = a.copy(indent = argv(i).toInt)
+          case "--skip-json-loads" => a = a.copy(skipJsonLoads = true)
+          case "--schema" => i += 1; a = a.copy(schema = Some(argv(i)))
+          case "--strict" => a = a.copy(strict = true)
+          case "--schema-repair-mode" =>
+            i += 1
+            argv(i) match {
+              case "standard" => a = a.copy(salvage = false)
+              case "salvage" => a = a.copy(salvage = true)
+              case other =>
+                System.err.println(s"Error: invalid --schema-repair-mode $other"); return 1
+            }
+          case other if !other.startsWith("-") && a.filename.isEmpty =>
+            a = a.copy(filename = Some(other))
+          case other =>
+            System.err.println(s"Error: unknown argument $other"); return 1
+        }
+        i += 1
+      }
+    } catch {
+      case _: ArrayIndexOutOfBoundsException =>
+        System.err.println("Error: missing value for argument"); return 1
+    }
+
+    if (a.inline && a.filename.isEmpty) {
+      System.err.println("Error: Inline mode requires a filename"); return 1
+    }
+    if (a.inline && a.output.isDefined) {
+      System.err.println("Error: You cannot pass both --inline and --output"); return 1
+    }
+    if (a.strict && a.schema.isDefined) {
+      System.err.println("Error: --strict cannot be used with --schema"); return 1
+    }
+    if (a.salvage && a.schema.isEmpty) {
+      System.err.println("Error: --schema-repair-mode salvage requires --schema"); return 1
+    }
+
+    try {
+      val data = a.filename match {
+        case Some(f) => Files.readString(Paths.get(f))
+        case None => readStdin()
+      }
+      val result: JsonValue = a.schema match {
+        case Some(schemaFile) =>
+          val schemaJson = Files.readString(Paths.get(schemaFile))
+          val schema = PyJson.loads(schemaJson).getOrElse {
+            System.err.println("Error: schema file is not valid JSON"); return 1
+          }
+          SchemaRepair.loads(data, schema,
+            if (a.salvage) SchemaRepair.Salvage else SchemaRepair.Standard)
+        case None =>
+          if (a.strict) JsonRepair.validate(data) match {
+            case Right(v) => v
+            case Left(msg) => System.err.println(s"Error: $msg"); return 1
+          }
+          else JsonRepair.repairToValue(data, skipJsonLoads = a.skipJsonLoads)
+      }
+      val text = PyJson.dumps(result, a.ensureAscii, Some(a.indent))
+      (a.inline, a.output) match {
+        case (true, _) => Files.writeString(Paths.get(a.filename.get), text)
+        case (_, Some(out)) => Files.writeString(Paths.get(out), text)
+        case _ => println(text)
+      }
+      0
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"Error: ${e.getMessage}")
+        1
+    }
+  }
+}

@@ -16,26 +16,59 @@ object PyJson {
 
   // ---- dumps --------------------------------------------------------------
 
-  def dumps(v: JsonValue): String = {
+  def dumps(v: JsonValue): String = dumps(v, ensureAscii = true, indent = None)
+
+  /** Full CPython json.dumps surface: `ensure_ascii` and `indent`. */
+  def dumps(v: JsonValue, ensureAscii: Boolean, indent: Option[Int]): String = {
     val sb = new StringBuilder
-    write(sb, v)
+    indent match {
+      case None => write(sb, v, ensureAscii)
+      case Some(n) => writeIndented(sb, v, ensureAscii, math.max(0, n), 0)
+    }
     sb.toString
   }
 
-  private def write(sb: StringBuilder, v: JsonValue): Unit = v match {
+  private def writeIndented(sb: StringBuilder, v: JsonValue, ea: Boolean, n: Int, level: Int): Unit = {
+    def pad(l: Int): String = "\n" + (" " * (n * l))
+    v match {
+      case JArr(xs) if xs.nonEmpty =>
+        sb.append('[')
+        xs.zipWithIndex.foreach { case (x, i) =>
+          if (i > 0) sb.append(',')
+          sb.append(pad(level + 1))
+          writeIndented(sb, x, ea, n, level + 1)
+        }
+        sb.append(pad(level)).append(']')
+      case JObj(fs) if fs.nonEmpty =>
+        sb.append('{')
+        var i = 0
+        fs.foreach { case (k, x) =>
+          if (i > 0) sb.append(',')
+          i += 1
+          sb.append(pad(level + 1))
+          writeString(sb, k, ea)
+          sb.append(": ")
+          writeIndented(sb, x, ea, n, level + 1)
+        }
+        sb.append(pad(level)).append('}')
+      case other => write(sb, other, ea)
+    }
+  }
+
+  private def write(sb: StringBuilder, v: JsonValue, ensureAscii: Boolean = true): Unit = v match {
     case JNull => sb.append("null")
     case JBool(true) => sb.append("true")
     case JBool(false) => sb.append("false")
     case JInt(i) => sb.append(i.toString)
     case JFloat(d) => sb.append(floatRepr(d))
-    case JStr(s) => writeString(sb, s)
+    case JStr(s) => writeString(sb, s, ensureAscii)
     case JArr(xs) =>
       sb.append('[')
       var first = true
       xs.foreach { x =>
         if (!first) sb.append(", ")
         first = false
-        write(sb, x)
+        write(sb, x, ensureAscii)
       }
       sb.append(']')
     case JObj(fields) =>
@@ -44,14 +77,14 @@ object PyJson {
       fields.foreach { case (k, x) =>
         if (!first) sb.append(", ")
         first = false
-        writeString(sb, k)
+        writeString(sb, k, ensureAscii)
         sb.append(": ")
-        write(sb, x)
+        write(sb, x, ensureAscii)
       }
       sb.append('}')
   }
 
-  private def writeString(sb: StringBuilder, s: String): Unit = {
+  private def writeString(sb: StringBuilder, s: String, ensureAscii: Boolean = true): Unit = {
     sb.append('"')
     s.foreach {
       case '"' => sb.append("\\\"")
@@ -61,7 +94,8 @@ object PyJson {
       case '\t' => sb.append("\\t")
       case '\b' => sb.append("\\b")
       case '\f' => sb.append("\\f")
-      case c if c < 0x20 || c > 0x7E => sb.append(f"\\u${c.toInt}%04x")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c if c > 0x7E && ensureAscii => sb.append(f"\\u${c.toInt}%04x")
       case c => sb.append(c)
     }
     sb.append('"')
