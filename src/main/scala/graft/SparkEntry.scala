@@ -27,6 +27,7 @@ object SparkEntry {
     "vc_drift_chi2" -> ((s, d) => ClipQueries.driftChi2(s, d)),
     "vc_drift_ks" -> ((s, d) => ClipQueries.driftKs(s, d)),
     "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d)),
+    "vc_codec_counts" -> ((s, d) => ClipQueries.codecCounts(s, d)),
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),

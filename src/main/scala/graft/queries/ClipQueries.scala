@@ -134,6 +134,21 @@ object ClipQueries {
       .filter(col("n_versions") > 1)
   }
 
+  /** Codec frequency with explicit two-phase salting: ~70% of rows share the
+    * hot 'pcm_s16le' codec (deliberate skew in the generator), so a naive
+    * groupBy(codec) sends the hot key to one reducer. Salting on
+    * (codec, ord % 16) pre-aggregates the hot key across 16 reducers before
+    * the final (tiny) combine — the pattern the 10^12-row table needs; AQE
+    * skew handling is the safety net, this is the explicit fix. */
+  def codecCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    clips
+      .groupBy(col("codec"), (col("ord") % 16).as("__salt"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("codec")
+      .agg(sum("c").cast("long").as("n_clips"))
+  }
+
   private val C = ClipsTable.cte
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +226,9 @@ object ClipQueries {
     "vc_dedup_lww" ->
       s"""$C
          |SELECT clip_id, max(ord) AS kept_ord, count(*) AS n_versions
-         |FROM clips GROUP BY clip_id HAVING count(*) > 1""".stripMargin
+         |FROM clips GROUP BY clip_id HAVING count(*) > 1""".stripMargin,
+    "vc_codec_counts" ->
+      s"""$C
+         |SELECT codec, count(*) AS n_clips FROM clips GROUP BY codec""".stripMargin
   )
 }

@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.clips.ClipsTable
+import graft.io.TableFormat
+
+/** Iceberg-layout emulation: snapshot commits, time travel, partition
+  * pruning on the bucket column. */
+class TableFormatSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("commit -> read round trip with snapshot versioning and pruning") {
+    val table = Files.createTempDirectory("graft-table").toString
+    val clips = ClipsTable.base(spark, sfDir)
+
+    val v1 = TableFormat.commit(clips, table, "bucket")
+    assert(v1 == 1)
+    assert(TableFormat.read(spark, table).count() == 1500)
+
+    // second snapshot with fewer rows; latest read sees it, v1 still intact
+    val v2 = TableFormat.commit(clips.filter(col("ord") < 100), table, "bucket")
+    assert(v2 == 2)
+    assert(TableFormat.snapshots(table) == Seq(1, 2))
+    assert(TableFormat.read(spark, table).count() == 100)
+    assert(TableFormat.read(spark, table, Some(1)).count() == 1500)
+
+    // partition pruning: a bucket filter must hit PartitionFilters, not data
+    val pruned = TableFormat.read(spark, table, Some(1)).filter(col("bucket") === 3)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(500))
+    assert(pruned.count() == clips.filter(col("bucket") === 3).count())
+  }
+}
