@@ -34,6 +34,23 @@ object JsonRepair {
     RepairParser.repairToValue(input, streamStable = streamStable)
   }
 
+  /** `logging=True` path (reference M1): the repaired value plus the ordered
+    * repair log `{text, context}` — the lineage of every mutation applied.
+    * Valid inputs take the fast path and return an empty log. */
+  def repairWithLog(input: String, skipJsonLoads: Boolean = false)
+      : (JsonValue, Seq[RepairParser.LogEntry]) = {
+    if (!skipJsonLoads) {
+      PyJson.loads(input) match {
+        case Some(v) => return (v, Seq.empty)
+        case None =>
+      }
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[RepairParser.LogEntry]
+    val v = new RepairParser(input, strict = false, tryValidJsonSuffix = true,
+      streamStable = false, logger = Some(buf)).parse()
+    (v, buf.toSeq)
+  }
+
   /** Validator mode (reference strict=True): Right(value) if the input is
     * accepted, Left(violation message) if a repair heuristic would fire. */
   def validate(input: String): Either[String, JsonValue] = {

@@ -36,11 +36,25 @@ object RepairParser {
   def repairToValue(input: String, strict: Boolean = false,
       tryValidJsonSuffix: Boolean = true, streamStable: Boolean = false): JsonValue =
     new RepairParser(input, strict, tryValidJsonSuffix, streamStable).parse()
+
+  /** One repair-log record: the action text + a ±10-char context window
+    * (the reference's `_log`, json_parser.py:338-348). */
+  final case class LogEntry(text: String, context: String)
 }
 
 final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boolean,
-    streamStable: Boolean = false) {
+    streamStable: Boolean = false,
+    val logger: Option[mutable.Buffer[RepairParser.LogEntry]] = None) {
   import RepairParser._
+
+  /** Reference `_log`: message + ±10-char context window around the cursor.
+    * No-op when logging is off (the reference swaps in a noop lambda;
+    * here the Option check is the guard). */
+  private def log(text: String): Unit = logger.foreach { buf =>
+    val start = math.max(index - 10, 0)
+    val end = math.min(index + 10, s.length)
+    buf += LogEntry(text, s.substring(start, end))
+  }
 
   private var s: String = input // mutated by two repairs (splice/normalize)
   private var index: Int = 0
@@ -92,6 +106,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   def parse(): JsonValue = {
     var json = parseJson()
     if (index < s.length) {
+      log("The parser returned early, checking if there's more json elements")
       val acc = mutable.ArrayBuffer[JsonValue](json)
       while (index < s.length) {
         context.clear()
@@ -109,7 +124,11 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           acc += j
         } else index += 1
       }
-      json = if (acc.length == 1) acc.head else JArr(acc)
+      json =
+        if (acc.length == 1) {
+          log("There were no more elements, returning the element without the array")
+          acc.head
+        } else JArr(acc)
     }
     json
   }
@@ -176,19 +195,24 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     var break = false
     while (!break && (if (at() == NUL) '}' else at()) != '}') {
       skipWhitespaces()
-      if (at() == ':') index += 1 // stray ':' before a key
+      if (at() == ':') {
+        log("While parsing an object we found a : before a key, ignoring")
+        index += 1
+      }
 
       val (key, rollbackIndex) = parseObjectKey(obj)
       if (ctxHas(CtxArr) && obj.contains(key)) {
         if (strict) strictErr("Duplicate key found in strict mode while parsing object.")
         if (!parsingObjectValue) {
           if (shouldSplitDuplicateObject(rollbackIndex)) {
+            log("While parsing an object we found a duplicate key, closing the object here and rolling back the index")
             // close the object here and splice a '{' back into the input
             index = rollbackIndex - 1
             s = s.substring(0, index + 1) + "{" + s.substring(index + 1)
             break = true
+          } else {
+            log("While parsing an object we found a duplicate key with a normal comma separator, keeping duplicate-key overwrite behavior")
           }
-          // else: comma-separated duplicate — keep overwrite behavior
         }
       }
 
@@ -199,7 +223,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           skipWhitespaces()
           if (at() != ':') {
             if (strict) strictErr("Missing ':' after key in strict mode while parsing object.")
-            // tolerated: missing ':' after key
+            log("While parsing an object we missed a : after a key")
           }
           index += 1
           val value = parseObjectValue()
@@ -212,6 +236,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           val c = at()
           if (c == ',' || c == '\'' || c == '"') index += 1
           if (at() == ']' && ctxHas(CtxArr)) {
+            log("While parsing an object we found a closing array bracket, closing the object here and rolling back the index")
             index -= 1
             break = true
           }
@@ -294,12 +319,15 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
             if (tail.nonEmpty) {
               val t = tail.reverse
               if (t.length % el == 0) {
+                log("While parsing an object we found row values without an inner array, grouping them into rows")
                 t.grouped(el).foreach(g => prevValue += JArr(mutable.ArrayBuffer(g.toSeq: _*)))
               } else prevValue ++= t
             }
             if (newItems.nonEmpty) {
-              if (newItems.forall(_.isInstanceOf[JArr])) prevValue ++= newItems
-              else prevValue += JArr(newItems)
+              if (newItems.forall(_.isInstanceOf[JArr])) {
+                log("While parsing an object we found additional rows, appending them without flattening")
+                prevValue ++= newItems
+              } else prevValue += JArr(newItems)
             }
           case None =>
             if (newItems.length == 1 && newItems.head.isInstanceOf[JArr])
@@ -319,8 +347,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     try {
       skipWhitespaces()
       val c = at()
-      if (c == ',' || c == '}') JStr("") // stray separator: empty value
-      else parseJson()
+      if (c == ',' || c == '}') {
+        log(s"While parsing an object value we found a stray $c, ignoring it")
+        JStr("")
+      } else parseJson()
     } finally ctxReset()
   }
 
@@ -332,6 +362,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
     classifyEmptyObjectRepair(startIndex) match {
       case ("object", Some(normalized)) =>
+        log("Parsed object is empty but the input starts like an escaped object key, normalizing and reparsing it as an object")
         val endIndex = index + 1
         s = s.substring(0, startIndex - 1) + normalized +
           (if (endIndex <= s.length) s.substring(endIndex) else "")
@@ -341,6 +372,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         deferredContexts += CtxKey
         Some(repaired)
       case ("array", _) =>
+        log("Parsed object is empty, we will try to parse this as an array instead")
         index = startIndex
         ctxSet(CtxKey)
         val repaired = try parseArray() finally ctxReset()
@@ -372,7 +404,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         if (inQuote != NUL) {
           if (ch == inQuote && backslashes % 2 == 0) inQuote = NUL
         } else if (isDelim(ch) && backslashes % 2 == 0) inQuote = ch
-        else if (ch == ':' && backslashes % 2 == 0) return ("keep", None)
+        else if (ch == ':' && backslashes % 2 == 0) {
+          log("Parsed object is empty but the input still contains an object-style separator, keeping object repair")
+          return ("keep", None)
+        }
         backslashes = 0
       }
     }
@@ -412,7 +447,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
   private def completeObjectParse(obj: mutable.LinkedHashMap[String, JsonValue]): JsonValue = {
     if (!ctxEmpty) {
-      if (at() == '}' && ctxCurrent != CtxKey && ctxCurrent != CtxValue) index += 1
+      if (at() == '}' && ctxCurrent != CtxKey && ctxCurrent != CtxValue) {
+        log("Found an extra closing brace that shouldn't be there, skipping it")
+        index += 1
+      }
       return JObj(obj)
     }
     skipWhitespaces()
@@ -420,6 +458,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       index += 1
       skipWhitespaces()
       if (isDelim(at()) && !strict) {
+        log("Found a comma and string delimiter after object closing brace, checking for additional key-value pairs")
         parseObject() match {
           case JObj(additional) => additional.foreach { case (k, v) => obj(k) = v }
           case _ =>
@@ -452,7 +491,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         if (value.isStrictlyEmpty && at() != closingDelimiter && at() != ',') {
           index += 1
         } else if (value == JStr("...") && at(-1) == '.') {
-          // stray '...' dropped
+          log("While parsing an array, found a stray '...'; ignoring it")
         } else {
           arr += value
         }
@@ -462,6 +501,8 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           char = at()
         }
       }
+      if (char != closingDelimiter)
+        log(s"While parsing an array we missed the closing $closingDelimiter, ignoring it")
       index += 1
       JArr(arr)
     } finally ctxReset()
@@ -623,26 +664,34 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       if (char == '#') {
         var c = at()
         val terms = lineTerminators
-        while (c != NUL && terms.indexOf(c) < 0) { index += 1; c = at() }
+        while (c != NUL && terms.indexOf(c) < 0) { sb.append(c); index += 1; c = at() }
+        log(s"Found line comment: $sb, ignoring")
       } else if (char == '/') {
         val next = at(1)
         if (next == '/') {
+          sb.append("//")
           index += 2
           var c = at()
-          while (c != NUL && c != '\n' && c != '\r') { index += 1; c = at() }
+          while (c != NUL && c != '\n' && c != '\r') { sb.append(c); index += 1; c = at() }
+          log(s"Found line comment: $sb, ignoring")
         } else if (next == '*') {
+          sb.append("/*")
           index += 2
           var closed = false
           var prev: Char = '*' // comment text opens with "/*"
           while (!closed) {
             val c = at()
-            if (c == NUL) closed = true
-            else {
+            if (c == NUL) {
+              log("Reached end-of-string while parsing block comment; unclosed block comment.")
+              closed = true
+            } else {
+              sb.append(c)
               index += 1
               if (prev == '*' && c == '/') closed = true
               prev = c
             }
           }
+          log(s"Found block comment: $sb, ignoring")
         } else index += 1
       }
       if (ctxEmpty) {
@@ -818,6 +867,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           case None =>
         }
       }
+      log("While parsing a string, we found a literal instead of a quote")
       st.missingQuotes = true
     }
 
@@ -825,7 +875,8 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     if (at() == '`') {
       parseJsonLlmBlock() match {
         case Some(v) => return Right(v)
-        case None => // fences did not enclose valid JSON, continue
+        case None =>
+          log("While parsing a string, we found code fences but they did not enclose valid JSON, continuing parsing the string")
       }
     }
 
@@ -837,23 +888,29 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         return Right(JStr(""))
       }
       if (at(1) == st.lDelim) {
+        log("While parsing a string, we found a doubled quote and then a quote again, ignoring it")
         if (strict) strictErr("Found doubled quotes followed by another quote.")
         return Right(JStr(""))
       }
       val i0 = skipToCharacter(st.outerR.toString, 1)
       if (at(i0 + 1) == st.outerR) {
+        log("While parsing a string, we found a valid starting doubled quote")
         st.doubledQuotes = true
         index += 1
       } else {
         val i1 = scrollWhitespaces(1)
         val nextC = at(i1)
         if (isDelim(nextC) || nextC == '{' || nextC == '[') {
+          log("While parsing a string, we found a doubled quote but also another quote afterwards, ignoring it")
           if (strict)
             strictErr("Found doubled quotes followed by another quote while parsing a string.")
           index += 1
           return Right(JStr(""))
         }
-        if (nextC != ',' && nextC != ']' && nextC != '}') index += 1
+        if (nextC != ',' && nextC != ']' && nextC != '}') {
+          log("While parsing a string, we found a doubled quote but it was a mistake, removing one quote")
+          index += 1
+        }
       }
     }
     Left(st)
@@ -862,6 +919,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   /** Handles a backslash-escape after it landed in acc; returns the next
     * char to continue with, or None if the escape was not handled. */
   private def normalizeEscapeSequence(st: StringState, char0: Char): (Boolean, Char) = {
+    log("Found a stray escape sequence, normalizing it")
     var char = char0
     val activeR = st.activeR
     if (st.inLowSmartSpan && char == '"') {
@@ -903,12 +961,14 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       if (index + 1 + numChars <= s.length) {
         val hex = s.substring(index + 1, index + 1 + numChars)
         if (hex.forall(c => "0123456789abcdefABCDEF".indexOf(c) >= 0)) {
+          log("Found a unicode escape sequence, normalizing it")
           st.replaceLast(new String(Character.toChars(Integer.parseInt(hex, 16))))
           index += 1 + numChars
           return (true, at())
         }
       }
     } else if (char == LowSmartQuote || (isDelim(char) && char != activeR)) {
+      log("Found a delimiter that was escaped but shouldn't be escaped, removing the escape")
       st.replaceLast(char.toString)
       index += 1
       return (true, at())
@@ -1181,6 +1241,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     var char = char0
 
     if (st.doubledQuotes && at(1) == outerR) {
+      log("While parsing a string, we found a doubled quote, ignoring it")
       index += 1
       return (true, char, false)
     }
@@ -1197,6 +1258,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         i = scrollWhitespaces(i)
         if (at(i) == ':') {
           index -= 1
+          log("In a string with missing quotes and object value context, I found a delimeter but it turns out it was the beginning on the next key. Stopping here.")
           return (false, at(), true)
         }
       }
@@ -1234,6 +1296,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       i = scrollWhitespaces(i)
       nextC = at(i)
       if (nextC == '}' || nextC == ',') {
+        log("While parsing a string, we found a misplaced quote that would have closed the string but has a different meaning here, ignoring it")
         st.append(char.toString)
         index += 1
         return (true, at(), false)
@@ -1245,6 +1308,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       }
       if (ctxCurrent == CtxValue) {
         if (quotedObjectMemberFollows(i)) {
+          log("While parsing a string, we found a misplaced quote that would have closed the string but has a different meaning here, ignoring it")
           st.append(char.toString)
           index += 1
           return (true, at(), false)
@@ -1259,6 +1323,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           else { i += 1; nextC = at(i) }
         }
         if (nextC != ':') {
+          log("While parsing a string, we found a misplaced quote that would have closed the string but has a different meaning here, ignoring it")
           st.unmatchedDelimiter = !st.unmatchedDelimiter
           st.append(char.toString)
           index += 1
@@ -1278,6 +1343,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           }
         }
         if (evenDelimiters) {
+          log("While parsing a string in Array context, we detected a quoted section that would have closed the string but has a different meaning here, ignoring it")
           st.unmatchedDelimiter = !st.unmatchedDelimiter
           st.append(char.toString)
           index += 1
@@ -1285,6 +1351,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         }
         return (false, char, true)
       } else if (ctxCurrent == CtxKey) {
+        log("While parsing a string in Object Key context, we detected a quoted section that would have closed the string but has a different meaning here, ignoring it")
         st.append(char.toString)
         index += 1
         return (true, at(), false)
@@ -1303,8 +1370,13 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       var continueLoop = false
 
       if (st.missingQuotes) {
-        if (ctxCurrent == CtxKey && (char == ':' || isSpace(char))) { break = true }
-        else if (ctxCurrent == CtxArr && (char == ']' || char == ',')) { break = true }
+        if (ctxCurrent == CtxKey && (char == ':' || isSpace(char))) {
+          log("While parsing a string missing the left delimiter in object key context, we found a :, stopping here")
+          break = true
+        } else if (ctxCurrent == CtxArr && (char == ']' || char == ',')) {
+          log("While parsing a string missing the left delimiter in array context, we found a ] or ,, stopping here")
+          break = true
+        }
       }
       if (!break && char == LowSmartQuote && (st.acc.isEmpty || st.acc.last != '\\')) {
         st.pushLowSmartSpan()
@@ -1324,6 +1396,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           (st.acc.isEmpty || st.acc.last != '\\')) {
         val containerEndIdx = skipInlineContainer(0)
         if (containerEndIdx != -1) {
+          log("While parsing a string in object value context, we found a balanced inline container that belongs to the string, keeping it")
           st.pendingInlineContainer = false
           st.inlineStack.clear()
           st.append(s.substring(index, index + containerEndIdx))
@@ -1336,10 +1409,13 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           !st.pendingInlineContainer && st.inlineStack.isEmpty) {
         val classification =
           if (st.noFutureDelimiter) "string" else classifyObjectValueComma(st)
-        if (classification == "member") break = true
-        else {
+        if (classification == "member") {
+          log("While parsing a string missing the right delimiter in object value context, we found a comma that starts the next object member. Stopping here")
+          break = true
+        } else {
           if (classification == "string_no_future_delimiter") st.noFutureDelimiter = true
           st.pendingInlineContainer = classification == "container"
+          log("While parsing a string in object value context, we found a comma that belongs to the string, keeping it")
           st.append(char.toString); index += 1; char = at()
           continueLoop = true
         }
@@ -1387,7 +1463,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
               if (j - i > 1) rDelimMissing = false
             }
           }
-          if (!break && rDelimMissing) break = true
+          if (!break && rDelimMissing) {
+            log("While parsing a string missing the left delimiter in object value context, we found a , or } and we couldn't determine that a right delimiter was present. Stopping here")
+            break = true
+          }
         }
       }
       if (!break && !continueLoop && !streamStable && char == ']' && ctxHas(CtxArr) &&
@@ -1400,10 +1479,17 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         val nextC = at(i)
         if (nextC == '`' && at(i + 1) == '`' && at(i + 2) == '`') {
           if (braceBeforeCodeFenceBelongsToString(st, i)) {
+            log("While parsing a string in object value context, we found a literal fenced snippet after }, keeping it in the string")
             st.append(char.toString); index += 1; char = at()
             continueLoop = true
-          } else break = true
-        } else if (nextC == NUL) break = true
+          } else {
+            log("While parsing a string in object value context, we found a } that closes the object before code fences, stopping here")
+            break = true
+          }
+        } else if (nextC == NUL) {
+          log("While parsing a string in object value context, we found a } that closes the object, stopping here")
+          break = true
+        }
       }
       if (!break && !continueLoop) {
         st.append(char.toString)
@@ -1429,9 +1515,15 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
               i += 1
               i = scrollWhitespaces(i)
               val ch = at(i)
-              if (ch == ',' || ch == '}') break = true
+              if (ch == ',' || ch == '}') {
+                log(s"While parsing a string missing the right delimiter in object key context, we found a $ch stopping here")
+                break = true
+              }
             }
-          } else break = true
+          } else {
+            log("While parsing a string missing the right delimiter in object key context, we found a :, stopping here")
+            break = true
+          }
         }
         if (!break && !continueLoop && st.inLowSmartSpan && char == '"') {
           st.popLowSmartSpan()
@@ -1440,6 +1532,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         }
         if (!break && !continueLoop && char == outerR && ctxCurrent == CtxValue &&
             quoteBelongsToRegexCharacterClass(st)) {
+          log("While parsing a string, we found a bare quote inside a regex character class, keeping it")
           st.append(char.toString); index += 1; char = at()
           continueLoop = true
         }
@@ -1469,12 +1562,16 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   private def finalizeStringResult(st: StringState, char: Char): JsonValue = {
     val outerR = st.outerR
     if (char != NUL && st.missingQuotes && ctxCurrent == CtxKey && isSpace(char)) {
+      log("While parsing a string, handling an extreme corner case in which the LLM added a comment instead of valid string, invalidate the string and return an empty value")
       skipWhitespaces()
       if (at() != ':' && at() != ',') return JStr("")
     }
     var result = st.acc.toString
     if (char != outerR) {
-      if (!streamStable) result = rstrip(result)
+      if (!streamStable) {
+        log("While parsing a string, we missed the closing quote, ignoring")
+        result = rstrip(result)
+      }
     } else {
       index += 1
     }

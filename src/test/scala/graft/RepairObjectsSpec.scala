@@ -48,6 +48,19 @@ class RepairObjectsSpec extends AnyFunSuite {
     assert(JsonRepair.validate("""{"key": "value", "n": [1, 2.5, null, true]}""").isRight)
   }
 
+  test("repair log matches the reference test_logging golden") {
+    // valid input -> fast path, empty log
+    assert(JsonRepair.repairWithLog("{}") == (JObj.empty, Seq.empty))
+    // missing closing quote -> two exact log records with ±10-char context
+    val (v, logRecords) = JsonRepair.repairWithLog("{\"key\": \"value}")
+    assert(PyJson.dumps(v) == "{\"key\": \"value\"}")
+    assert(logRecords.map(e => (e.text, e.context)) == Seq(
+      ("While parsing a string missing the left delimiter in object value " +
+        "context, we found a , or } and we couldn't determine that a right " +
+        "delimiter was present. Stopping here", "y\": \"value}"),
+      ("While parsing a string, we missed the closing quote, ignoring", "y\": \"value}")))
+  }
+
   test("stream_stable mode keeps repairs prefix-stable (reference test_stream_stable)") {
     // default (unstable) behavior
     assert(JsonRepair.repair("{\"key\": \"val\\") == "{\"key\": \"val\\\\\"}")
