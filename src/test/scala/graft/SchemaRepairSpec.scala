@@ -84,6 +84,21 @@ class SchemaRepairSpec extends AnyFunSuite {
       """{"name": "bo", "age": 3}""")
   }
 
+  test("case-class-derived schema drives repair (pydantic-ingestion analogue)") {
+    // Clip's metadata shape: ints coerced, required enforced
+    final case class Meta(name: String, count: Long)
+    // (local case classes lack TypeTags in some scopes; go via StructType)
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("count", org.apache.spark.sql.types.LongType, nullable = false)))
+    val schema = SchemaOf.fromStructType(st)
+    assert(PyJson.dumps(schema) ==
+      """{"type": "object", "properties": {"name": {"type": "string"}, "count": {"type": "integer"}}, "required": ["name", "count"]}""")
+    assert(PyJson.dumps(SchemaRepair.loads("""{name: bo, count: '4'}""", schema)) ==
+      """{"name": "bo", "count": 4}""")
+    intercept[SchemaRepair.RepairError](SchemaRepair.loads("""{"name": "x"}""", schema))
+  }
+
   test("double-serialized JSON unwrap") {
     val schema = obj("type" -> JStr("object"),
       "properties" -> obj("k" -> obj("type" -> JStr("integer"))))
