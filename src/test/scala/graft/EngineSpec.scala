@@ -62,6 +62,17 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("salted codec counts equal the naive aggregation") {
+    val salted = ClipQueries.codecCounts(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val naive = graft.clips.ClipsTable.base(spark, sfDir)
+      .groupBy("codec").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == naive)
+    // the deliberate skew is present: hot codec carries ~70% of rows
+    assert(salted("pcm_s16le").toDouble / salted.values.sum > 0.6)
+  }
+
   test("audio SNR violations are exactly the ord%149 rows") {
     val got = AudioQueries.snrViolations(spark, sfDir)
       .collect().map(_.getString(0)).sorted

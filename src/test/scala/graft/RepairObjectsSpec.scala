@@ -48,6 +48,14 @@ class RepairObjectsSpec extends AnyFunSuite {
     assert(JsonRepair.validate("""{"key": "value", "n": [1, 2.5, null, true]}""").isRight)
   }
 
+  test("ensure_ascii=false keeps non-latin characters (reference test)") {
+    val v = JsonRepair.repairToValue("{'test_中国人_ascii':'统一码'}")
+    assert(PyJson.dumps(v, ensureAscii = false, indent = None) ==
+      "{\"test_中国人_ascii\": \"统一码\"}")
+    assert(PyJson.dumps(v) ==
+      "{\"test_\\u4e2d\\u56fd\\u4eba_ascii\": \"\\u7edf\\u4e00\\u7801\"}")
+  }
+
   test("repair log matches the reference test_logging golden") {
     // valid input -> fast path, empty log
     assert(JsonRepair.repairWithLog("{}") == (JObj.empty, Seq.empty))
