@@ -115,24 +115,32 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
     val d = docs(spark, sfDir).select("doc_id", "text").as[(Long, String)]
-    val sigs = d.map { case (id, text) => (id, shingles(text), signature(shingles(text))) }
-      .toDF("doc_id", "shingles", "sig")
+    // compute shingles once per doc; signatures derive from them
+    val sigs = d.map { case (id, text) =>
+      val sh = shingles(text)
+      (id, sh, signature(sh))
+    }.toDF("doc_id", "shingles", "sig")
     val perRow = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("sig"), b * perRow + 1, perRow)).as("bh"))
     }
-    val banded = sigs.select(col("doc_id"), col("shingles"),
-      explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("shingles"), col("bb.band"), col("bb.bh"))
-    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    // candidate generation carries only (band, bh, id) — the shingle arrays
+    // stay out of the x16 band shuffle and are joined back per candidate id
+    val banded = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val l = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+    val r = banded.select(col("band"), col("bh"), col("doc_id").as("id_b"))
     val cand = l.join(r, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    val shs = sigs.select(col("doc_id"), col("shingles"))
+    val withSh = cand
+      .join(shs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
     val verify = udf((a: Seq[Long], b: Seq[Long]) => exactJaccard(a.toArray, b.toArray))
-    cand.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
+    withSh.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

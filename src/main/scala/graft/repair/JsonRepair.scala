@@ -52,13 +52,17 @@ object JsonRepair {
   }
 
   /** Validator mode (reference strict=True): Right(value) if the input is
-    * accepted, Left(violation message) if a repair heuristic would fire. */
-  def validate(input: String): Either[String, JsonValue] = {
-    PyJson.loads(input) match {
-      case Some(v) => Right(v)
-      case None =>
-        try Right(RepairParser.repairToValue(input, strict = true))
-        catch { case e: RepairParser.StrictError => Left(e.getMessage) }
+    * accepted, Left(violation message) if a repair heuristic would fire.
+    * `skipJsonLoads` forces the strict repair parser even for inputs the
+    * lenient stdlib grammar accepts (e.g. duplicate keys). */
+  def validate(input: String, skipJsonLoads: Boolean = false): Either[String, JsonValue] = {
+    if (!skipJsonLoads) {
+      PyJson.loads(input) match {
+        case Some(v) => return Right(v)
+        case None =>
+      }
     }
+    try Right(RepairParser.repairToValue(input, strict = true))
+    catch { case e: RepairParser.StrictError => Left(e.getMessage) }
   }
 }

@@ -37,8 +37,10 @@ class RepairObjectsSpec extends AnyFunSuite {
     items.foreach {
       case JObj(f) =>
         val input = f("input").asInstanceOf[JStr].value
+        val skip = f.get("skip_json_loads").contains(JBool(true))
         if (f("raises") == JBool(true)) {
-          assert(JsonRepair.validate(input).isLeft, s"expected rejection for: $input")
+          assert(JsonRepair.validate(input, skipJsonLoads = skip).isLeft,
+            s"expected rejection for: $input")
         }
       case _ =>
     }
