@@ -109,13 +109,22 @@ object PyJson {
     if (d.isPosInfinity) return "Infinity"
     if (d.isNegInfinity) return "-Infinity"
     if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
-    // shortest digit string via successive precision
-    var p = 1
-    var sci = ""
-    while (p <= 17) {
-      sci = String.format("%." + (p - 1) + "e", Double.box(math.abs(d)))
-      if (sci.toDouble == math.abs(d)) p = 100 else p += 1
+    // fast path: whole values in the fixed-notation range need no search
+    val absD = math.abs(d)
+    if (d == math.rint(d) && absD < 1e16) {
+      val asLong = d.toLong
+      if (asLong.toDouble == d) return asLong.toString + ".0"
     }
+    // shortest digit string: binary-search the minimal precision that
+    // round-trips (monotone in p), 5 formats worst case instead of 17
+    var lo = 1
+    var hi = 17
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      val cand = String.format("%." + (mid - 1) + "e", Double.box(absD))
+      if (cand.toDouble == absD) hi = mid else lo = mid + 1
+    }
+    val sci = String.format("%." + (lo - 1) + "e", Double.box(absD))
     // sci looks like "d.dddde±XX" (or "de±XX" for p=1)
     val Array(mant, expStr) = sci.split("e")
     val exp = expStr.toInt
