@@ -19,6 +19,7 @@ object DocQueries {
     "dd_embed_cosine" -> ((s, d) => Ann.cosinePairs(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ta_tokens" -> ((s, d) => TextQueries.tokens(s, d)),
     "ta_quality" -> ((s, d) => TextQueries.quality(s, d)),
     "ta_langid" -> ((s, d) => TextQueries.langId(s, d)),

@@ -72,6 +72,49 @@ object Ann {
     (h.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** IVF-style bucketed top-k: coarse quantization against `nCells`
+    * deterministic centroids (the first nCells vectors — a fixed, data-
+    * derived codebook; a production build would k-means these), each vector
+    * assigned to its nearest centroid, queries probing their `nProbe`
+    * closest cells. Join key = cell id, so candidate generation is a
+    * bounded-key join — the inverted-file shape that survives 10^9 vectors. */
+  def ivfTopK(spark: SparkSession, sfDir: String, nQueries: Int = 16, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = emb(spark, sfDir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val centroids: Array[(Int, Array[Double])] = e.filter(col("vec_id") < nCells)
+      .collect().map(r => (r.getLong(0).toInt,
+        r.getSeq[Double](1).toArray))
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cellOf = udf((v: Seq[Double]) => {
+      var best = -1; var bestDot = Double.NegativeInfinity
+      bc.value.foreach { case (cid, c) =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i) * v(i); i += 1 }
+        if (acc > bestDot) { bestDot = acc; best = cid }
+      }
+      best
+    })
+    val probesOf = udf((v: Seq[Double]) => {
+      bc.value.map { case (cid, c) =>
+        var acc = 0.0; var i = 0
+        while (i < c.length) { acc += c(i) * v(i); i += 1 }
+        (cid, acc)
+      }.sortBy(-_._2).take(nProbe).map(_._1)
+    })
+    val assigned = e.withColumn("cell", cellOf(col("v")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(probesOf(col("v"))).as("cell"))
+    val scored = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos"))
+  }
+
   val LshBits = 12
 
   /** LSH-bucketed approximate top-k: 12-bit random-hyperplane signature,

@@ -76,6 +76,16 @@ class DedupSpec extends AnyFunSuite {
     assert(approx.distinct.length == approx.length)
   }
 
+  test("ivfTopK recall: probing 1/4 of cells recovers most true neighbors") {
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.2, s"ivf recall $recall") // random vectors: cells are weak but non-trivial
+  }
+
   test("text fingerprint: expression output equals scala reference") {
     val got = TextQueries.fingerprints(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
