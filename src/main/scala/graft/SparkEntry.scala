@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.audio.AudioQueries
-import graft.queries.{ClipQueries, DocQueries, RepairQueries}
+import graft.queries.{ClipQueries, DocQueries, EventQueries, RepairQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Every entry in [[queries]] is one operator from SURVEY.md §2 / the north
@@ -35,9 +35,14 @@ object SparkEntry {
   ) ++ DocQueries.queries ++ Map[String, (SparkSession, String) => DataFrame](
     "jr_valid" -> ((s, d) => RepairQueries.valid(s, d)),
     "jr_repair" -> ((s, d) => RepairQueries.repaired(s, d)),
-    "jr_schema" -> ((s, d) => RepairQueries.schemaRepaired(s, d))
+    "jr_schema" -> ((s, d) => RepairQueries.schemaRepaired(s, d)),
+    "jr_actions" -> ((s, d) => RepairQueries.repairActions(s, d)),
+    "vc_hist" -> ((s, d) => ClipQueries.histogram(s, d)),
+    "ev_hourly" -> ((s, d) => EventQueries.hourly(s, d)),
+    "ev_sessions" -> ((s, d) => EventQueries.sessions(s, d))
   )
 
   def oracleSql: Map[String, String] =
-    ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles ++ RepairQueries.oracles
+    ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles ++
+      RepairQueries.oracles ++ EventQueries.oracles
 }

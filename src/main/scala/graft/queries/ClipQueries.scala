@@ -134,6 +134,17 @@ object ClipQueries {
       .filter(col("n_versions") > 1)
   }
 
+  /** dur_ms histogram through the custom HistogramAggregator (fixed bins
+    * [20,500), width 10) — the sketch the drift tests merge; exploded to
+    * (bin, n) rows so DuckDB can reproduce it with a plain binned count. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    clips.agg(graft.agg.Histogram.sketch(col("dur_ms"), 20.0, 500.0, 48).as("h"))
+      .select(posexplode(col("h.counts")).as(Seq("bin", "n")))
+      .filter(col("n") > 0)
+      .select(col("bin").cast("long").as("bin"), col("n"))
+  }
+
   /** Codec frequency with explicit two-phase salting: ~70% of rows share the
     * hot 'pcm_s16le' codec (deliberate skew in the generator), so a naive
     * groupBy(codec) sends the hot key to one reducer. Salting on
@@ -229,6 +240,12 @@ object ClipQueries {
          |FROM clips GROUP BY clip_id HAVING count(*) > 1""".stripMargin,
     "vc_codec_counts" ->
       s"""$C
-         |SELECT codec, count(*) AS n_clips FROM clips GROUP BY codec""".stripMargin
+         |SELECT codec, count(*) AS n_clips FROM clips GROUP BY codec""".stripMargin,
+    // fixed-bin histogram: bin i covers [20 + 10*i, 30 + 10*i); dur_ms is
+    // always in [20, 500) so no clamping branch is exercised
+    "vc_hist" ->
+      s"""$C
+         |SELECT cast(floor((dur_ms - 20) / 10.0) AS BIGINT) AS bin, count(*) AS n
+         |FROM clips GROUP BY 1""".stripMargin
   )
 }

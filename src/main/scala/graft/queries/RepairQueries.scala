@@ -59,6 +59,17 @@ object RepairQueries {
       JsonRepairFunctions.jsonRepairSchema(spark, malformed2, schema).as("repaired"))
   }
 
+  /** Repair-lineage counts per row (M1 at dataset level): how many repair
+    * actions fired for each malformed payload. Hash-heuristic-dependent, so
+    * no SQL oracle; determinism asserted by the rows-only gate + tests. */
+  def repairActions(spark: SparkSession, sfDir: String): DataFrame = {
+    val countUdf = udf((s: String) =>
+      graft.repair.JsonRepair.repairWithLog(s)._2.length)
+    events(spark, sfDir).select(
+      col("event_id"),
+      countUdf(malformed).as("n_repair_actions"))
+  }
+
   val oracles: Map[String, String] = Map(
     "jr_schema" ->
       """SELECT event_id,
