@@ -46,7 +46,8 @@ object ClipQueries {
     val clips = ClipsTable.base(spark, sfDir)
     val agg = clips.agg(
       StatsAggregator.numStats(col("sr_hz")).as("s_sr"),
-      StatsAggregator.numStats(col("dur_ms")).as("s_dur"))
+      StatsAggregator.numStats(col("dur_ms")).as("s_dur"),
+      StatsAggregator.numStats(length(col("transcript"))).as("s_tr"))
     agg.select(explode(array(
         struct(lit("sr_hz").as("column_name"),
           col("s_sr.n_rows").as("n_rows"), col("s_sr.n_nulls").as("n_nulls"),
@@ -55,7 +56,11 @@ object ClipQueries {
         struct(lit("dur_ms").as("column_name"),
           col("s_dur.n_rows").as("n_rows"), col("s_dur.n_nulls").as("n_nulls"),
           col("s_dur.min_v").as("min_v"), col("s_dur.max_v").as("max_v"),
-          col("s_dur.sum_v").as("sum_v")))).as("s"))
+          col("s_dur.sum_v").as("sum_v")),
+        struct(lit("transcript_len").as("column_name"),
+          col("s_tr.n_rows").as("n_rows"), col("s_tr.n_nulls").as("n_nulls"),
+          col("s_tr.min_v").as("min_v"), col("s_tr.max_v").as("max_v"),
+          col("s_tr.sum_v").as("sum_v")))).as("s"))
       .select(col("s.*"))
       .withColumn("mean_v",
         round(col("sum_v").cast("double") / (col("n_rows") - col("n_nulls")), 4))
@@ -199,6 +204,13 @@ object ClipQueries {
          |  cast(min(dur_ms) AS BIGINT), cast(max(dur_ms) AS BIGINT),
          |  cast(sum(dur_ms) AS BIGINT),
          |  round(cast(cast(sum(dur_ms) AS BIGINT) AS DOUBLE) / count(dur_ms), 4)
+         |FROM clips
+         |UNION ALL
+         |SELECT 'transcript_len', count(*),
+         |  count(CASE WHEN transcript IS NULL THEN 1 END),
+         |  cast(min(length(transcript)) AS BIGINT), cast(max(length(transcript)) AS BIGINT),
+         |  cast(sum(length(transcript)) AS BIGINT),
+         |  round(cast(cast(sum(length(transcript)) AS BIGINT) AS DOUBLE) / count(transcript), 4)
          |FROM clips""".stripMargin,
     "vc_quantiles" ->
       s"""$C
