@@ -38,6 +38,7 @@ object SparkEntry {
     "jr_schema" -> ((s, d) => RepairQueries.schemaRepaired(s, d)),
     "jr_actions" -> ((s, d) => RepairQueries.repairActions(s, d)),
     "vc_hist" -> ((s, d) => ClipQueries.histogram(s, d)),
+    "vc_transcript_eq" -> ((s, d) => ClipQueries.transcriptMismatch(s, d)),
     "ev_hourly" -> ((s, d) => EventQueries.hourly(s, d)),
     "ev_sessions" -> ((s, d) => EventQueries.sessions(s, d))
   )

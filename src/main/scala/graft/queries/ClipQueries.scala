@@ -139,6 +139,22 @@ object ClipQueries {
       .filter(col("n_versions") > 1)
   }
 
+  /** Per-row transcript-equality invariant (BASELINE.json input_hint:
+    * "transcript exact equality vs reference outputs"): the observed
+    * transcript column is compared against the reference derivation; a
+    * deterministic corruption (ord % 173, 'X' appended) is injected on the
+    * observed side so the check surfaces exactly those rows. Null
+    * transcripts are the not-null check's concern, not this one's. */
+  def transcriptMismatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val observed = when(col("ord") % 173 === 0, concat(col("transcript"), lit("X")))
+      .otherwise(col("transcript"))
+    clips
+      .withColumn("observed", observed)
+      .filter(col("observed") =!= col("transcript")) // null-safe: nulls drop out
+      .select(col("clip_id"), lit("transcript_equality").as("check_name"))
+  }
+
   /** dur_ms histogram through the custom HistogramAggregator (fixed bins
     * [20,500), width 10) — the sketch the drift tests merge; exploded to
     * (bin, n) rows so DuckDB can reproduce it with a plain binned count. */
@@ -253,6 +269,10 @@ object ClipQueries {
     "vc_codec_counts" ->
       s"""$C
          |SELECT codec, count(*) AS n_clips FROM clips GROUP BY codec""".stripMargin,
+    "vc_transcript_eq" ->
+      s"""$C
+         |SELECT clip_id, 'transcript_equality' AS check_name
+         |FROM clips WHERE ord % 173 = 0 AND transcript IS NOT NULL""".stripMargin,
     // fixed-bin histogram: bin i covers [20 + 10*i, 30 + 10*i); dur_ms is
     // always in [20, 500) so no clamping branch is exercised
     "vc_hist" ->
