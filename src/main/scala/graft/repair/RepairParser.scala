@@ -61,6 +61,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   private val context = mutable.ArrayBuffer.empty[Ctx]
   private val deferredContexts = mutable.ArrayBuffer.empty[Ctx]
   private var hasTriedSuffix = false
+  private var schemaRepairer: Option[SchemaRepairer] = None
 
   private def ctxCurrent: Ctx = if (context.isEmpty) null else context.last
   private def ctxEmpty: Boolean = context.isEmpty
@@ -103,8 +104,19 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
   // ---- top level ----------------------------------------------------------
 
-  def parse(): JsonValue = {
-    var json = parseJson()
+  def parse(): JsonValue = parseTopLevel(() => parseJson())
+
+  /** Reference `parse_with_schema` (json_parser.py:101-108): thread the
+    * schema + JSONPath through every recursive parse call so repairs can
+    * consult it mid-parse (empty-object reinterpretation, missing-value
+    * fills, property drops). */
+  def parseWithSchema(repairer: SchemaRepairer, schema: JsonValue): JsonValue = {
+    schemaRepairer = Some(repairer)
+    parseTopLevel(() => parseJson(schema, "$"))
+  }
+
+  private def parseTopLevel(parseElement: () => JsonValue): JsonValue = {
+    var json = parseElement()
     if (index < s.length) {
       log("The parser returned early, checking if there's more json elements")
       val acc = mutable.ArrayBuffer[JsonValue](json)
@@ -113,7 +125,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         deferredContexts.clear()
         val isCommaSeparated = nextTopLevelValueIsCommaSeparated()
         val elementStart = index
-        val j = parseJson()
+        val j = parseElement()
         if (strict && index > elementStart)
           strictErr("Multiple top-level JSON elements found in strict mode.")
         if (j.isTruthy) {
@@ -152,34 +164,70 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
   // ---- dispatcher ---------------------------------------------------------
 
-  private def parseJson(): JsonValue = {
+  /** Resolve the active repairer + schema for this parse node (reference
+    * `_resolve_schema_for_parse`). Returns (repairerOpt, resolvedSchema). */
+  private def resolveSchemaForParse(schema: JsonValue): (Option[SchemaRepairer], JsonValue) = {
+    val active = if (schemaRepairer.isDefined && schema != null && schema != JBool(true))
+      schemaRepairer else None
+    active match {
+      case None => (None, schema)
+      case Some(r) =>
+        r.resolveSchema(schema) match {
+          case JBool(true) => (None, JBool(true))
+          case JBool(false) =>
+            throw new SchemaRepair.RepairError("Schema does not allow any values.")
+          case resolved => (Some(r), resolved)
+        }
+    }
+  }
+
+  private def finalizeParsedValue(value: JsonValue, repairer: Option[SchemaRepairer],
+      schema: JsonValue, path: String): JsonValue =
+    repairer match {
+      case None => value
+      case Some(r) => r.repairValue(Some(value), schema, path)
+    }
+
+  private def parseJson(schema0: JsonValue = null, path: String = "$"): JsonValue = {
     if (deferredContexts.nonEmpty) {
       val deferred = deferredContexts.toList
       deferredContexts.clear()
       deferred.foreach(ctxSet)
-      try return parseJson()
+      try return parseJson(schema0, path)
       finally deferred.foreach(_ => ctxReset())
     }
+    val (repairer, schema) = resolveSchemaForParse(schema0)
     while (true) {
       val char = at()
       if (char == NUL) return JStr("")
       if (tryValidJsonSuffix && (char == '{' || char == '[')) {
         tryParseValidJsonValue() match {
-          case Some(v) => return v
+          case Some(v) => return finalizeParsedValue(v, repairer, schema, path)
           case None =>
         }
       }
-      if (char == '{') { index += 1; return parseObject() }
-      if (char == '[') { index += 1; return parseArray() }
+      if (char == '{') {
+        index += 1
+        val v = if (repairer.isDefined) parseObject(schema, path) else parseObject()
+        return finalizeParsedValue(v, repairer, schema, path)
+      }
+      if (char == '[') {
+        index += 1
+        val v = if (repairer.isDefined) parseArray(schema, path) else parseArray()
+        return finalizeParsedValue(v, repairer, schema, path)
+      }
       if (char == '(') {
-        if (!ctxEmpty || topLevelParenthesizedCanStartValue()) return parseParenthesized()
+        if (!ctxEmpty || topLevelParenthesizedCanStartValue()) {
+          val v = if (repairer.isDefined) parseParenthesized(schema, path) else parseParenthesized()
+          return finalizeParsedValue(v, repairer, schema, path)
+        }
         index += 1
       } else if (!ctxEmpty && (isDelim(char) || Character.isLetter(char))) {
-        return parseString()
+        return finalizeParsedValue(parseString(), repairer, schema, path)
       } else if (!ctxEmpty && (Character.isDigit(char) || char == '-' || char == '.')) {
-        return parseNumber()
+        return finalizeParsedValue(parseNumber(), repairer, schema, path)
       } else if (char == '#' || char == '/') {
-        return parseComment()
+        return finalizeParsedValue(parseComment(), repairer, schema, path)
       } else index += 1
     }
     JStr("")
@@ -187,10 +235,74 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
   // ---- object -------------------------------------------------------------
 
-  private def parseObject(): JsonValue = {
+  /** Reference `resolve_parser_object_schema`: active only when the node
+    * schema is an object schema. */
+  private def resolveParserObjectSchema(schema: JsonValue)
+      : (Option[SchemaRepairer], JsonValue, Option[SchemaRepair.ObjectConfig]) =
+    schemaRepairer match {
+      case Some(r) if schema != null && schema != JBool(true) =>
+        r.resolveSchema(schema) match {
+          case JBool(false) =>
+            throw new SchemaRepair.RepairError("Schema does not allow any values.")
+          case JBool(true) => (None, JBool(true), None)
+          case resolved if !r.isObjectSchema(resolved) => (None, resolved, None)
+          case resolved => (Some(r), resolved, Some(r.objectConfig(resolved)))
+        }
+      case _ => (None, schema, None)
+    }
+
+  /** Reference `_resolve_object_property_schema`: (propSchema, extras, drop). */
+  private def resolveObjectPropertySchema(
+      repairer: Option[SchemaRepairer],
+      config: Option[SchemaRepair.ObjectConfig],
+      key: String): (JsonValue, Seq[JsonValue], Boolean) =
+    (repairer, config) match {
+      case (Some(_), Some(cfg)) =>
+        if (cfg.properties.contains(key)) (cfg.properties(key), Seq.empty, false)
+        else {
+          val matched =
+            if (cfg.patternProperties.nonEmpty)
+              SchemaRepair.matchPatternProperties(cfg.patternProperties, key)
+            else Seq.empty
+          if (matched.nonEmpty) (matched.head, matched.tail, false)
+          else cfg.additionalProperties match {
+            case Some(JBool(false)) => (null, Seq.empty, true)
+            case Some(o: JObj) => (o, Seq.empty, false)
+            case _ => (JBool(true), Seq.empty, false)
+          }
+        }
+      case _ => (null, Seq.empty, false)
+    }
+
+  /** Reference `_finalize_object`: required raise (standard) + defaults. */
+  private def finalizeObject(
+      obj: mutable.LinkedHashMap[String, JsonValue],
+      repairer: Option[SchemaRepairer],
+      config: Option[SchemaRepair.ObjectConfig],
+      path: String): Unit =
+    (repairer, config) match {
+      case (Some(r), Some(cfg)) =>
+        val missing = cfg.required.filterNot(obj.contains)
+        if (missing.nonEmpty && !r.isSalvage)
+          throw new SchemaRepair.RepairError(
+            s"Missing required properties at $path: ${missing.mkString(", ")}")
+        cfg.properties.foreach { case (key, propSchema) =>
+          if (!obj.contains(key) && !cfg.required.contains(key)) {
+            propSchema match {
+              case JObj(pf) if pf.contains("default") =>
+                obj(key) = SchemaRepair.deepCopy(pf("default"))
+              case _ =>
+            }
+          }
+        }
+      case _ =>
+    }
+
+  private def parseObject(schema0: JsonValue = null, path: String = "$"): JsonValue = {
     val obj = mutable.LinkedHashMap.empty[String, JsonValue]
     val startIndex = index
     val parsingObjectValue = ctxCurrent == CtxValue
+    val (repairer, schema, config) = resolveParserObjectSchema(schema0)
 
     var break = false
     while (!break && (if (at() == NUL) '}' else at()) != '}') {
@@ -226,12 +338,19 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
             log("While parsing an object we missed a : after a key")
           }
           index += 1
-          val value = parseObjectValue()
+          val (propSchema, extraSchemas, dropProperty) =
+            resolveObjectPropertySchema(repairer, config, key)
+          val keyPath = s"$path.$key"
+          var value = parseObjectValue(repairer, propSchema, keyPath)
 
-          if (value == JStr("") && strict && !isDelim(at(-1)))
+          repairer.foreach { r =>
+            extraSchemas.foreach(es => value = r.repairValue(Some(value), es, keyPath))
+          }
+
+          if (repairer.isEmpty && value == JStr("") && strict && !isDelim(at(-1)))
             strictErr("Parsed value is empty in strict mode while parsing object.")
 
-          obj(key) = value
+          if (repairer.isEmpty || !dropProperty) obj(key) = value
 
           val c = at()
           if (c == ',' || c == '\'' || c == '"') index += 1
@@ -246,11 +365,11 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     }
     index += 1
 
-    repairEmptyObjectResult(obj, startIndex) match {
+    repairEmptyObjectResult(obj, startIndex, schema, path, repairer) match {
       case Some(repaired) => return repaired
       case None =>
     }
-    completeObjectParse(obj)
+    completeObjectParse(obj, schema, path, repairer, config)
   }
 
   private def parseObjectKey(obj: mutable.LinkedHashMap[String, JsonValue]): (String, Int) = {
@@ -342,25 +461,34 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     true
   }
 
-  private def parseObjectValue(): JsonValue = {
+  private def parseObjectValue(repairer: Option[SchemaRepairer],
+      propSchema: JsonValue, keyPath: String): JsonValue = {
     ctxSet(CtxValue)
     try {
       skipWhitespaces()
       val c = at()
       if (c == ',' || c == '}') {
         log(s"While parsing an object value we found a stray $c, ignoring it")
-        JStr("")
-      } else parseJson()
+        repairer match {
+          case Some(r) => r.repairValue(None, propSchema, keyPath) // MISSING_VALUE fill
+          case None => JStr("")
+        }
+      } else repairer match {
+        case Some(_) => parseJson(propSchema, keyPath)
+        case None => parseJson()
+      }
     } finally ctxReset()
   }
 
   private def repairEmptyObjectResult(
-      obj: mutable.LinkedHashMap[String, JsonValue], startIndex: Int): Option[JsonValue] = {
+      obj: mutable.LinkedHashMap[String, JsonValue], startIndex: Int,
+      schema: JsonValue, path: String,
+      repairer: Option[SchemaRepairer]): Option[JsonValue] = {
     if (obj.nonEmpty || index - startIndex <= 2) return None
     if (strict)
       strictErr("Parsed object is empty but contains extra characters in strict mode.")
 
-    classifyEmptyObjectRepair(startIndex) match {
+    classifyEmptyObjectRepair(startIndex, schema, repairer) match {
       case ("object", Some(normalized)) =>
         log("Parsed object is empty but the input starts like an escaped object key, normalizing and reparsing it as an object")
         val endIndex = index + 1
@@ -368,9 +496,19 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           (if (endIndex <= s.length) s.substring(endIndex) else "")
         index = startIndex
         ctxSet(CtxKey)
-        val repaired = try parseObject() finally ctxReset()
+        val repaired = try parseObject(schema, path) finally ctxReset()
         deferredContexts += CtxKey
         Some(repaired)
+      case ("schema_set_object", _) =>
+        log("Parsed object is empty but salvage schema expects an object, reparsing set-like members as null-valued object keys")
+        index = startIndex
+        ctxSet(CtxKey)
+        val setItems = try parseArray() finally ctxReset()
+        deferredContexts += CtxKey
+        val keys = setItems.items.collect { case JStr(k) if k.nonEmpty => k }
+        if (keys.length == setItems.items.length)
+          Some(JObj(mutable.LinkedHashMap(keys.map(k => k -> (JNull: JsonValue)).toSeq: _*)))
+        else Some(setItems)
       case ("array", _) =>
         log("Parsed object is empty, we will try to parse this as an array instead")
         index = startIndex
@@ -382,8 +520,9 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     }
   }
 
-  /** ("keep" | "object" | "array", normalizedText?) */
-  private def classifyEmptyObjectRepair(startIndex: Int): (String, Option[String]) = {
+  /** ("keep" | "object" | "schema_set_object" | "array", normalizedText?) */
+  private def classifyEmptyObjectRepair(startIndex: Int, schema: JsonValue,
+      repairer: Option[SchemaRepairer]): (String, Option[String]) = {
     val attempted = s.substring(math.max(0, startIndex - 1), math.min(s.length, index + 1))
     var body = attempted.drop(1)
     if (body.endsWith("}")) body = body.dropRight(1)
@@ -411,7 +550,12 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
         backslashes = 0
       }
     }
-    ("array", None)
+    repairer match {
+      case Some(r) if r.isSalvage && schema.isInstanceOf[JObj] &&
+          r.isObjectSchema(schema) && !r.isArraySchema(schema) =>
+        ("schema_set_object", None)
+      case _ => ("array", None)
+    }
   }
 
   private def stripCommentsForClassification(body: String): String = {
@@ -445,7 +589,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     out.toString
   }
 
-  private def completeObjectParse(obj: mutable.LinkedHashMap[String, JsonValue]): JsonValue = {
+  private def completeObjectParse(obj: mutable.LinkedHashMap[String, JsonValue],
+      schema: JsonValue, path: String,
+      repairer: Option[SchemaRepairer],
+      config: Option[SchemaRepair.ObjectConfig]): JsonValue = {
     if (!ctxEmpty) {
       if (at() == '}' && ctxCurrent != CtxKey && ctxCurrent != CtxValue) {
         log("Found an extra closing brace that shouldn't be there, skipping it")
@@ -459,42 +606,96 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       skipWhitespaces()
       if (isDelim(at()) && !strict) {
         log("Found a comma and string delimiter after object closing brace, checking for additional key-value pairs")
-        parseObject() match {
+        parseObject(schema, path) match {
           case JObj(additional) => additional.foreach { case (k, v) => obj(k) = v }
           case _ =>
         }
       }
     }
+    finalizeObject(obj, repairer, config, path)
     JObj(obj)
   }
 
   // ---- array --------------------------------------------------------------
 
-  private def parseArray(closingDelimiter: Char = ']'): JArr = {
+  /** Reference `resolve_parser_array_schema` + `_resolve_array_item_schema`. */
+  private def resolveParserArraySchema(schema: JsonValue)
+      : (Option[SchemaRepairer], Option[SchemaRepair.ArrayConfig]) =
+    schemaRepairer match {
+      case Some(r) if schema != null && schema != JBool(true) =>
+        r.resolveSchema(schema) match {
+          case JBool(false) =>
+            throw new SchemaRepair.RepairError("Schema does not allow any values.")
+          case JBool(true) => (None, None)
+          case resolved if !r.isArraySchema(resolved) => (None, None)
+          case resolved => (Some(r), Some(r.arrayConfig(resolved)))
+        }
+      case _ => (None, None)
+    }
+
+  private def resolveArrayItemSchema(config: Option[SchemaRepair.ArrayConfig],
+      idx: Int): (JsonValue, Boolean) = config match {
+    case None => (null, false)
+    case Some(cfg) => cfg.itemsSchema match {
+      case Some(JArr(pos)) =>
+        if (idx < pos.length) (pos(idx), false)
+        else cfg.additionalItems match {
+          case Some(JBool(false)) => (null, true)
+          case Some(o: JObj) => (o, false)
+          case _ => (JBool(true), false)
+        }
+      case Some(o: JObj) => (o, false)
+      case _ => (JBool(true), false)
+    }
+  }
+
+  private def parseArray(schema0: JsonValue = null, path: String = "$",
+      closingDelimiter: Char = ']'): JArr = {
+    val (repairer, config) = resolveParserArraySchema(schema0)
+    val salvageMode = repairer.exists(_.isSalvage)
     val arr = mutable.ArrayBuffer.empty[JsonValue]
     ctxSet(CtxArr)
     try {
       skipWhitespaces()
       var char = at()
+      var idx = 0
       while (char != NUL && char != closingDelimiter && char != '}') {
+        val (itemSchema, dropItem) = resolveArrayItemSchema(config, idx)
+        val itemPath = s"$path[$idx]"
+        val active: Option[SchemaRepairer] =
+          if (repairer.isDefined && !dropItem && !salvageMode) repairer else None
         var value: JsonValue = JNull
         if (isDelim(char)) {
           // A string followed by ':' is often a missing object start
           var i = 1
           i = skipToCharacter(char.toString, i)
           i = scrollWhitespaces(i + 1)
-          if (at(i) == ':') value = parseObject()
-          else value = parseString()
+          if (at(i) == ':') {
+            active match {
+              case Some(r) =>
+                value = parseObject(itemSchema, itemPath)
+                value = r.repairValue(Some(value), itemSchema, itemPath)
+              case None =>
+                value = parseObject()
+            }
+          } else {
+            value = parseString()
+            active.foreach(r => value = r.repairValue(Some(value), itemSchema, itemPath))
+          }
         } else {
-          value = parseJson()
+          value = active match {
+            case Some(_) => parseJson(itemSchema, itemPath)
+            case None => parseJson()
+          }
         }
         if (value.isStrictlyEmpty && at() != closingDelimiter && at() != ',') {
           index += 1
         } else if (value == JStr("...") && at(-1) == '.') {
           log("While parsing an array, found a stray '...'; ignoring it")
-        } else {
+        } else if (!dropItem) {
           arr += value
         }
+        idx += 1
         char = at()
         while (char != NUL && char != closingDelimiter && (isSpace(char) || char == ',')) {
           index += 1
@@ -510,10 +711,10 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
 
   // ---- parenthesized ------------------------------------------------------
 
-  private def parseParenthesized(): JsonValue = {
+  private def parseParenthesized(schema: JsonValue = null, path: String = "$"): JsonValue = {
     val explicitTuple = parenthesizedIsExplicitTuple()
     index += 1
-    val values = parseArray(')')
+    val values = parseArray(schema, path, ')')
     if (explicitTuple || values.items.length != 1) values else values.items.head
   }
 

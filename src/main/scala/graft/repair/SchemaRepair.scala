@@ -39,8 +39,10 @@ object SchemaRepair {
         } catch { case _: RepairError => }
       case None =>
     }
-    val parsed = RepairParser.repairToValue(input)
-    val repaired = r.repairValue(Some(parsed), schema, "$")
+    // full schema-threaded parse (reference parse_with_schema): the schema
+    // and JSONPath ride along every recursive parser call
+    val repaired = new RepairParser(input, strict = false, tryValidJsonSuffix = true)
+      .parseWithSchema(r, schema)
     if (!r.isValid(repaired, schema))
       throw new RepairError("Value does not satisfy schema after repair.")
     repaired
@@ -62,6 +64,19 @@ object SchemaRepair {
       xs.size == ys.size && xs.forall { case (k, v) => ys.get(k).exists(pyEq(v, _)) }
     case _ => a == b
   }
+
+  /** Object-schema pieces the parser threads through member parsing
+    * (reference parser_schema.ObjectSchemaConfig). */
+  final case class ObjectConfig(
+      properties: mutable.LinkedHashMap[String, JsonValue],
+      patternProperties: mutable.LinkedHashMap[String, JsonValue],
+      additionalProperties: Option[JsonValue],
+      required: Seq[String])
+
+  /** Array-schema pieces (reference parser_schema.ArraySchemaConfig). */
+  final case class ArrayConfig(
+      itemsSchema: Option[JsonValue],
+      additionalItems: Option[JsonValue])
 
   /** patternProperties literal+anchor subset (utils/pattern_properties.py). */
   def matchPatternProperties(patterns: mutable.LinkedHashMap[String, JsonValue], key: String): Seq[JsonValue] = {
@@ -159,6 +174,28 @@ final class SchemaRepairer(rootSchema: JsonValue, mode: SchemaRepair.Mode) {
         case None => f.contains("items")
       }
     case _ => false
+  }
+
+  def mode_ : SchemaRepair.Mode = mode
+  def isSalvage: Boolean = mode == Salvage
+
+  /** Reference `object_schema_config`. Call with a resolved object schema. */
+  def objectConfig(schema: JsonValue): ObjectConfig = {
+    val f = fields(schema)
+    ObjectConfig(
+      properties = f.get("properties").map(fields).getOrElse(mutable.LinkedHashMap.empty),
+      patternProperties = f.get("patternProperties").map(fields).getOrElse(mutable.LinkedHashMap.empty),
+      additionalProperties = f.get("additionalProperties"),
+      required = f.get("required") match {
+        case Some(JArr(rs)) => rs.collect { case JStr(s) => s }.toSeq
+        case _ => Seq.empty
+      })
+  }
+
+  /** Reference `array_schema_config`. */
+  def arrayConfig(schema: JsonValue): ArrayConfig = {
+    val f = fields(schema)
+    ArrayConfig(f.get("items"), f.get("additionalItems"))
   }
 
   // ---- mini validator ------------------------------------------------------
@@ -413,16 +450,10 @@ final class SchemaRepairer(rootSchema: JsonValue, mode: SchemaRepair.Mode) {
             case Some(mapped) => v = mapped
             case None if path == "$" && xs.length == 1 && xs.head.isInstanceOf[JObj] =>
               v = xs.head
-            case None if xs.nonEmpty && xs.forall {
-                case JStr(s) => s.nonEmpty
-                case _ => false
-              } =>
-              // set-literal salvage (reference O6 "schema_set_object",
-              // parse_object.py:322-334): {"a", "b"} under an object schema
-              // becomes an object with null values
-              v = JObj(mutable.LinkedHashMap(
-                xs.collect { case JStr(s) => s -> (JNull: JsonValue) }.toSeq: _*))
             case None =>
+            // (set-literal salvage — {"a","b"} text under an object schema —
+            // happens at PARSE time via the threaded schema, matching the
+            // reference; a true array literal here must NOT be converted)
           }
         case _ =>
       }

@@ -56,12 +56,6 @@ class FuzzModesSpec extends AnyFunSuite {
     if (bad.nonEmpty) fail(s"${bad.size} mismatches\n" + bad.take(12).mkString("\n"))
   }
 
-  /** Known corner: the reference threads the schema through the PARSER, so
-    * its empty-object reinterpretation (`{,}` and friends) can consult the
-    * schema mid-parse; this engine applies the schema post-parse (SURVEY §8
-    * R1-R15 note). The only observed divergence class is empty-object-with-
-    * stray-separator text under an object schema — ~0.2% of random cases.
-    * The spec asserts >= 99.5% agreement and prints any divergences. */
   test("schema-guided fuzz corpus agrees (repair or reject)") {
     var bad = List.empty[String]
     val items = loadArr("/fuzz_schema.json")
@@ -89,8 +83,6 @@ class FuzzModesSpec extends AnyFunSuite {
       case _ =>
     }
     info(s"schema fuzz: ${items.size - bad.size}/${items.size}")
-    bad.take(5).foreach(m => info(s"known-corner divergence: ${m.linesIterator.next()}"))
-    val agreement = (items.size - bad.size).toDouble / items.size
-    assert(agreement >= 0.995, s"agreement $agreement\n" + bad.take(10).mkString("\n"))
+    if (bad.nonEmpty) fail(s"${bad.size} mismatches\n" + bad.take(10).mkString("\n"))
   }
 }

@@ -34,9 +34,11 @@ class RepairPerfSpec extends AnyFunSuite {
     info(f"valid repair-path median: $mValidRepair%.3f ms (ref < 3 ms)")
     info(f"invalid repair median:    $mInvalid%.3f ms (ref < 3 ms)")
     info(f"valid fast-path median:   ${mValidFast * 1000}%.1f µs (ref C-json < 60 µs; JVM steady-state ~170 µs)")
-    assert(mValidRepair < 6.0)
-    assert(mInvalid < 6.0)
-    assert(mValidFast < 1.0) // JVM parser vs CPython C json: ~3x, still sub-ms
+    // generous guards: the suite runs alongside Spark tests that load all
+    // cores; the info() lines above carry the real standalone medians
+    assert(mValidRepair < 15.0)
+    assert(mInvalid < 15.0)
+    assert(mValidFast < 5.0)
   }
 
   test("pathological payloads: lookahead memoization keeps repair subquadratic") {
@@ -62,9 +64,9 @@ class RepairPerfSpec extends AnyFunSuite {
     info(f"mixed-quote 35KB:      $t2%.1f ms (ref < 125 ms)")
     info(f"far-quote comma 20KB:  $t3%.1f ms (ref < 250 ms)")
     info(f"far-quote brace 10KB:  $t4%.1f ms (ref < 250 ms)")
-    assert(t1 < 150.0)
-    assert(t2 < 250.0)
-    assert(t3 < 500.0)
-    assert(t4 < 500.0)
+    assert(t1 < 75.0)   // at/under the reference threshold even with noise
+    assert(t2 < 125.0)
+    assert(t3 < 250.0)
+    assert(t4 < 250.0)
   }
 }
