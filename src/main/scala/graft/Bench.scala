@@ -46,14 +46,19 @@ object Bench {
     //    copies) so the measured job is long enough that fixed stage/planning
     //    overhead is noise — the regime the 10^12-row target runs in. A
     //    cheap replicate=1 pass first warms JIT and the page cache.
-    // Two measured runs per level, best-of-two reported: the first run warms
-    // JIT/page cache AND counts as a sample, damping sandbox timing noise.
+    // Interleaved best-of-two per level (8,32,8,32): sandbox throughput
+    // drifts run to run, so alternating levels hedges monotonic drift and
+    // the per-level minimum damps one-off noise; the first pair also warms
+    // JIT and the page cache.
     val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "6").toInt
-    val scaling = Seq(8, 32).map { c =>
+    val samples = Seq(8, 32, 8, 32).map { c =>
       spark = newSession(c)
-      val runs = (1 to 2).map(_ => ValidationPipeline.timed(spark, sfDir, repl))
+      val r = ValidationPipeline.timed(spark, sfDir, repl)
       spark.stop()
-      val (n, nBad, sec) = runs.minBy(_._3)
+      (c, r)
+    }
+    val scaling = Seq(8, 32).map { c =>
+      val (n, nBad, sec) = samples.collect { case (`c`, r) => r }.minBy(_._3)
       (c, n, nBad, sec, n / sec)
     }
     val Seq((_, nClips, nBad, sec8, cps8), (_, _, _, sec32, cps32)) = scaling

@@ -47,20 +47,22 @@ object ValidationPipeline {
   def verdicts(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     import spark.implicits._
     val meta = replicatedBase(spark, sfDir, replicate)
+    // the full per-row verdict (metadata checks + audio invariants) is
+    // computed inside the typed map, so only four narrow columns enter the
+    // clip_id shuffle — at 10^12 rows the exchange carries bits, not strings
     val flagged = AudioQueries.fullFrom(spark, meta).map { c =>
       val snr = Wav.snrVsClean(c.bytes, AudioQueries.seedOf(c.clip_id))
       val n = Wav.decode(c.bytes).map(_._2.length.toLong).getOrElse(-1L)
       val durBad = n != c.sr_hz.toLong * c.dur_ms / 1000L
-      (c.clip_id, c.sr_hz, c.dur_ms, c.codec, c.transcript, c.ord, c.bucket,
-        snr.isNaN || snr < AudioQueries.SnrThresholdDb, durBad)
-    }.toDF("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "ord", "bucket",
-      "snr_bad", "dur_bad")
+      val snrBad = snr.isNaN || snr < AudioQueries.SnrThresholdDb
+      val rowBad = c.transcript.isEmpty || c.transcript.contains("") ||
+        c.sr_hz < ClipsTable.SrMin || c.sr_hz > ClipsTable.SrMax ||
+        !ClipsTable.CodecEnum.contains(c.codec) ||
+        snrBad || durBad
+      (c.clip_id, c.ord, c.bucket, rowBad)
+    }.toDF("clip_id", "ord", "bucket", "row_bad")
 
-    val rowBad = col("transcript").isNull ||
-      (col("transcript").isNotNull && col("transcript") === "") ||
-      col("sr_hz") < graft.clips.ClipsTable.SrMin || col("sr_hz") > graft.clips.ClipsTable.SrMax ||
-      !col("codec").isin(graft.clips.ClipsTable.CodecEnum: _*) ||
-      col("snr_bad") || col("dur_bad")
+    val rowBad = col("row_bad")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
     flagged
       .withColumn("__dup", count(lit(1)).over(w) > 1)
