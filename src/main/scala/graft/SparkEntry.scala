@@ -23,7 +23,7 @@ object SparkEntry {
     "vc_verdicts" -> ((s, d) => ClipQueries.verdicts(s, d)),
     "vc_stats" -> ((s, d) => ClipQueries.stats(s, d)),
     "vc_quantiles" -> ((s, d) => ClipQueries.quantiles(s, d)),
-    "vc_tdigest" -> ((s, d) => ClipQueries.tdigest(s, d)),
+    "vc_tdigest" -> ((s, d) => ClipQueries.tdigestChecked(s, d)),
     "vc_drift_chi2" -> ((s, d) => ClipQueries.driftChi2(s, d)),
     "vc_drift_ks" -> ((s, d) => ClipQueries.driftKs(s, d)),
     "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d)),
@@ -31,7 +31,7 @@ object SparkEntry {
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),
-    "au_features" -> ((s, d) => AudioQueries.features(s, d))
+    "au_features" -> ((s, d) => AudioQueries.featuresChecked(s, d))
   ) ++ DocQueries.queries ++ Map[String, (SparkSession, String) => DataFrame](
     "jr_valid" -> ((s, d) => RepairQueries.valid(s, d)),
     "jr_repair" -> ((s, d) => RepairQueries.repaired(s, d)),

@@ -16,10 +16,22 @@ final case class ClipFull(
     clip_id: String, bytes: Array[Byte], sr_hz: Int, dur_ms: Int,
     codec: String, transcript: Option[String], ord: Long, bucket: Long)
 
+/** Per-clip audio measurements from one fused synth+decode+analyze pass. */
+final case class ClipMeasure(
+    clip_id: String, sr_hz: Int, dur_ms: Int, ord: Long,
+    snr_db: Double, n_samples: Long,
+    n_frames: Long, rms_mean: Double, rms_max: Double, mean_sq: Double)
+
 /** The binary/multimodal layer: audio bytes are an opaque BinaryType column;
-  * decode / SNR / frame-feature extraction run as typed `Dataset.map` (the
+  * decode / SNR / frame-feature extraction run as typed `Dataset` maps (the
   * north star permits typed map; no RDDs). The WAV codec is real (PCM16 is
   * trivially decodable in-sandbox) — nothing is stubbed.
+  *
+  * All au_* queries derive from ONE fused pass ([[measured]]): synthesize
+  * into a task-reused buffer, then stream the bytes once for SNR / sample
+  * count / frame features. The bytes never round-trip the Tungsten encoder
+  * and per-row garbage is ~zero — at 10^12 rows the synth+decode stage is
+  * the dominant cost and allocation stalls are what break N->4N scaling.
   *
   * Injections (see ClipsTable): ord % 149 == 0 -> corrupted audio (10 dB
   * SNR, must fail the ≥30 dB allclose invariant); ord % 157 == 0 -> byte
@@ -34,6 +46,8 @@ object AudioQueries {
   def seedOf(clipId: String): Long = clipId.substring(5).toLong
 
   /** clips + deterministic synthesized bytes (typed map over the metadata).
+    * Kept for the multimodal layer and tests; the au_* queries use the
+    * fused [[measured]] pass instead so bytes never enter the encoder.
     * The small test parquet arrives as one input split, which would pin the
     * CPU-heavy synth/decode map to one task — repartition to the session's
     * parallelism first (a production-size table gets this fan-out for free
@@ -55,57 +69,82 @@ object AudioQueries {
     }
   }
 
+  /** One fused synth+analyze pass per clip: all per-row audio measurements
+    * (SNR vs clean resynth, decoded sample count, frame features) from a
+    * single allocation-free sweep over a task-reused buffer. */
+  def measured(spark: SparkSession, sfDir: String): Dataset[ClipMeasure] = {
+    import spark.implicits._
+    ClipsTable.base(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .as[ClipMeta]
+      .mapPartitions { it =>
+        var buf = new Array[Byte](64 * 1024)
+        it.map { m =>
+          val seed = seedOf(m.clip_id)
+          val snrDb = if (m.ord % 149 == 0) Wav.CorruptSnrDb else Wav.CleanSnrDb
+          val extra = if (m.ord % 157 == 0) 7 else 0
+          val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
+          if (need > buf.length) buf = new Array[Byte](need)
+          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
+          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          val (nFrames, rmsMean, rmsMax, meanSq) = Wav.frameStats(buf, len, FrameMs)
+          ClipMeasure(m.clip_id, m.sr_hz, m.dur_ms, m.ord, snr, n,
+            nFrames, rmsMean, rmsMax, meanSq)
+        }
+      }
+  }
+
   /** Rows violating the decoded-PCM allclose invariant (SNR < 30 dB vs the
     * clean resynth). Oracle: exactly the ord % 149 == 0 rows. */
-  def snrViolations(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    full(spark, sfDir)
-      .map(c => (c.clip_id, Wav.snrVsClean(c.bytes, seedOf(c.clip_id))))
-      .toDF("clip_id", "snr_db")
+  def snrViolations(spark: SparkSession, sfDir: String): DataFrame =
+    measured(spark, sfDir).toDF()
       .filter(col("snr_db").isNaN || col("snr_db") < SnrThresholdDb)
       .select("clip_id")
-  }
 
   /** Rows whose byte length disagrees with the declared dur_ms; emits the
     * actual decoded sample count. Oracle: the ord % 157 == 0 rows with
     * n_samples = floor(sr_hz * (dur_ms + 7) / 1000). */
-  def durMismatch(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    full(spark, sfDir)
-      .map { c =>
-        val n = Wav.decode(c.bytes).map(_._2.length.toLong).getOrElse(-1L)
-        val expected = c.sr_hz.toLong * c.dur_ms / 1000L
-        (c.clip_id, c.dur_ms, n, expected)
-      }
-      .toDF("clip_id", "dur_ms", "n_samples", "expected")
-      .filter(col("n_samples") =!= col("expected"))
+  def durMismatch(spark: SparkSession, sfDir: String): DataFrame =
+    measured(spark, sfDir).toDF()
+      .filter(col("n_samples") =!= expr("CAST(sr_hz AS BIGINT) * dur_ms DIV 1000"))
       .select("clip_id", "dur_ms", "n_samples")
-  }
 
   /** Frame count per clip (20 ms non-overlapping frames) — deterministic,
     * oracle-checkable arithmetic over the decoded stream. */
-  def frames(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    full(spark, sfDir)
-      .map(c => (c.clip_id, Wav.frameRms(c.bytes, FrameMs).length.toLong))
-      .toDF("clip_id", "n_frames")
-  }
+  def frames(spark: SparkSession, sfDir: String): DataFrame =
+    measured(spark, sfDir).toDF().select("clip_id", "n_frames")
 
-  /** Frame-RMS feature summary per clip (depends on the noise stream, so no
-    * SQL oracle; determinism asserted in ScalaTest). */
-  def features(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    full(spark, sfDir)
-      .map { c =>
-        val rms = Wav.frameRms(c.bytes, FrameMs)
-        val mean = if (rms.isEmpty) 0.0 else rms.sum / rms.length
-        val mx = if (rms.isEmpty) 0.0 else rms.max
-        (c.clip_id, rms.length.toLong, mean, mx)
-      }
-      .toDF("clip_id", "n_frames", "rms_mean", "rms_max")
+  /** Frame-RMS feature summary per clip (library surface; rms depends on
+    * the noise stream so determinism is asserted in ScalaTest — the
+    * driver-facing query is [[featuresChecked]]). */
+  def features(spark: SparkSession, sfDir: String): DataFrame =
+    measured(spark, sfDir).toDF()
       .select(col("clip_id"), col("n_frames"),
         round(col("rms_mean"), 4).as("rms_mean"),
         round(col("rms_max"), 4).as("rms_max"))
+
+  /** Power-invariant tolerance: worst-case partial-cycle wobble of the mean
+    * squared sine over one 20 ms frame is (A^2/2) * 1000/(2*pi*f_min*20ms)
+    * ~= 0.0072; empirical noise power over the shortest corrupt clip (160
+    * samples) scatters another ~0.005 (observed worst total 0.0124 at
+    * f=200Hz, sr=8kHz, dur=20ms, 10dB). 0.02 covers the extremes while
+    * still catching real synthesis/decode defects (a 6% amplitude error or
+    * any header/byte-order bug trips it). */
+  val PowerTolerance = 0.02
+
+  /** Frame features reduced to the oracle-able invariant: the measured mean
+    * squared amplitude over covered frames must match the closed-form
+    * expectation A^2/2 + noiseAmp(snr)^2/3 of the (known-per-row) synthesis
+    * parameters within [[PowerTolerance]]. Oracle: TRUE for every clip. */
+  def featuresChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    measured(spark, sfDir)
+      .map { c =>
+        val snrDb = if (c.ord % 149 == 0) Wav.CorruptSnrDb else Wav.CleanSnrDb
+        val expected = Wav.expectedMeanSq(snrDb)
+        (c.clip_id, c.n_frames, math.abs(c.mean_sq - expected) < PowerTolerance)
+      }
+      .toDF("clip_id", "n_frames", "power_ok")
   }
 
   private val C = ClipsTable.cte
@@ -125,6 +164,14 @@ object AudioQueries {
          |  cast(floor(
          |    floor(sr_hz * (dur_ms + CASE WHEN ord % 157 = 0 THEN 7 ELSE 0 END) / 1000.0)
          |    / floor(sr_hz * 20 / 1000.0)) AS BIGINT) AS n_frames
+         |FROM clips""".stripMargin,
+    "au_features" ->
+      s"""$C
+         |SELECT clip_id,
+         |  cast(floor(
+         |    floor(sr_hz * (dur_ms + CASE WHEN ord % 157 = 0 THEN 7 ELSE 0 END) / 1000.0)
+         |    / floor(sr_hz * 20 / 1000.0)) AS BIGINT) AS n_frames,
+         |  TRUE AS power_ok
          |FROM clips""".stripMargin
   )
 }

@@ -26,6 +26,15 @@ object Wav {
     StrictMath.sqrt(3.0 * signalPower / StrictMath.pow(10.0, snrDb / 10.0))
   }
 
+  /** Closed-form expected mean squared amplitude of a synthesized clip:
+    * sine power A^2/2 plus uniform-noise power noiseAmp^2/3 (clipping never
+    * engages: max |sample| = A + noiseAmp(10dB) < 1). */
+  def expectedMeanSq(snrDb: Double): Double = {
+    val sig = Amplitude * Amplitude / 2.0
+    val a = noiseAmp(snrDb)
+    sig + a * a / 3.0
+  }
+
   /** Next LCG state (Knuth MMIX constants). */
   @inline private def lcg(x: Long): Long =
     x * 6364136223846793005L + 1442695040888963407L
@@ -40,9 +49,25 @@ object Wav {
   def synth(seed: Long, noiseSeed: Long, srHz: Int, durMs: Int,
       snrDb: Double = CleanSnrDb, extraMs: Int = 0): Array[Byte] = {
     val n = (srHz.toLong * (durMs + extraMs) / 1000L).toInt
+    val out = new Array[Byte](HeaderBytes + 2 * n)
+    synthInto(out, seed, noiseSeed, srHz, durMs, snrDb, extraMs)
+    out
+  }
+
+  /** Byte length of the clip [[synth]] produces for these parameters. */
+  def synthLen(srHz: Int, durMs: Int, extraMs: Int = 0): Int =
+    HeaderBytes + 2 * (srHz.toLong * (durMs + extraMs) / 1000L).toInt
+
+  /** [[synth]] into a caller-owned buffer (`out.length >= synthLen(...)`);
+    * returns the written byte count. Lets the hot validation path reuse one
+    * buffer per task instead of allocating ~30 KB per row — the GC-pressure
+    * fix the N->4N scaling criterion needs (allocation stalls hit the
+    * 32-thread level hardest). Byte-identical to [[synth]]. */
+  def synthInto(out: Array[Byte], seed: Long, noiseSeed: Long, srHz: Int, durMs: Int,
+      snrDb: Double = CleanSnrDb, extraMs: Int = 0): Int = {
+    val n = (srHz.toLong * (durMs + extraMs) / 1000L).toInt
     val f = freqOf(seed)
     val a = noiseAmp(snrDb)
-    val out = new Array[Byte](HeaderBytes + 2 * n)
     writeHeader(out, srHz, n)
     var state = lcg(noiseSeed ^ 0x5DEECE66DL)
     var i = 0
@@ -56,7 +81,7 @@ object Wav {
       out(HeaderBytes + 2 * i + 1) = ((pcm >> 8) & 0xFF).toByte
       i += 1
     }
-    out
+    HeaderBytes + 2 * n
   }
 
   private def writeHeader(b: Array[Byte], srHz: Int, nSamples: Int): Unit = {
@@ -118,6 +143,88 @@ object Wav {
       }
       if (noisePow == 0.0) Double.PositiveInfinity
       else 10.0 * StrictMath.log10(sigPow / noisePow)
+  }
+
+  /** One-pass per-row validation over a caller-owned buffer holding `len`
+    * valid bytes: decodes the header and streams PCM samples directly from
+    * the bytes (no Array[Short] materialization), returning
+    * (snrDb vs the clean resynth, decoded sample count). Semantically
+    * identical to `decode` + `snrVsClean` + length (asserted in AudioSpec);
+    * exists so the headline validation pipeline allocates nothing per row.
+    * Returns (NaN, -1) on a malformed header. */
+  def validateVsClean(bytes: Array[Byte], len: Int, seed: Long): (Double, Long) = {
+    if (bytes == null || len < HeaderBytes) return (Double.NaN, -1L)
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return (Double.NaN, -1L)
+    val sr = le32(24)
+    val dataLen = math.min(le32(40), len - HeaderBytes)
+    if (sr <= 0 || dataLen < 0) return (Double.NaN, -1L)
+    val n = dataLen / 2
+    if (n == 0) return (Double.NaN, 0L)
+    val f = freqOf(seed)
+    var sigPow = 0.0
+    var noisePow = 0.0
+    var i = 0
+    while (i < n) {
+      val s = (((bytes(HeaderBytes + 2 * i) & 0xFF)) |
+        (bytes(HeaderBytes + 2 * i + 1) << 8)).toShort
+      // same FP expression order as snrVsClean -> bit-identical SNR
+      val clean = Amplitude * StrictMath.sin(2.0 * StrictMath.PI * f * i / sr)
+      val resid = s / 32767.0 - clean
+      sigPow += clean * clean
+      noisePow += resid * resid
+      i += 1
+    }
+    val snr =
+      if (noisePow == 0.0) Double.PositiveInfinity
+      else 10.0 * StrictMath.log10(sigPow / noisePow)
+    (snr, n.toLong)
+  }
+
+  /** One-pass frame feature summary over a caller-owned buffer:
+    * (nFrames, rmsMean, rmsMax, meanSq) where rms* reproduce
+    * `frameRms(bytes, frameMs)` exactly (same accumulation order) and
+    * meanSq is the mean squared sample amplitude over the covered frames —
+    * the quantity with a closed-form expectation A^2/2 + noiseAmp^2/3 that
+    * the au_features oracle checks. Allocation-free. */
+  def frameStats(bytes: Array[Byte], len: Int, frameMs: Int): (Long, Double, Double, Double) = {
+    if (bytes == null || len < HeaderBytes) return (0L, 0.0, 0.0, 0.0)
+    def le32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F'))
+      return (0L, 0.0, 0.0, 0.0)
+    val sr = le32(24)
+    val dataLen = math.min(le32(40), len - HeaderBytes)
+    if (sr <= 0 || dataLen < 0) return (0L, 0.0, 0.0, 0.0)
+    val n = dataLen / 2
+    val frameLen = math.max(1, sr * frameMs / 1000)
+    val nFrames = n / frameLen
+    if (nFrames == 0) return (0L, 0.0, 0.0, 0.0)
+    var rmsSum = 0.0
+    var rmsMax = 0.0
+    var sqSum = 0.0
+    var fI = 0
+    while (fI < nFrames) {
+      var acc = 0.0
+      var i = fI * frameLen
+      val end = i + frameLen
+      while (i < end) {
+        val v = (((bytes(HeaderBytes + 2 * i) & 0xFF)) |
+          (bytes(HeaderBytes + 2 * i + 1) << 8)).toShort / 32767.0
+        acc += v * v
+        i += 1
+      }
+      val rms = StrictMath.sqrt(acc / frameLen)
+      rmsSum += rms
+      if (rms > rmsMax) rmsMax = rms
+      sqSum += acc
+      fI += 1
+    }
+    (nFrames.toLong, rmsSum / nFrames, rmsMax, sqSum / (nFrames.toLong * frameLen))
   }
 
   /** Frame-level RMS (frame = `frameMs` ms, non-overlapping, truncating) —

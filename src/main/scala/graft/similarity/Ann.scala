@@ -116,10 +116,25 @@ object Ann {
   }
 
   val LshBits = 12
+  val LshBands = 4 // 3 bits per band, OR'd — candidates share ANY band
 
-  /** LSH-bucketed approximate top-k: 12-bit random-hyperplane signature,
-    * candidates share the bucket; rank within bucket. Trades recall for a
-    * bounded-key join — the shape that survives 10^9 vectors. */
+  /** LSH-bucketed approximate top-k: 12-bit random-hyperplane signature
+    * split into 4 OR'd bands of 3 bits, with query-side Hamming-1
+    * multi-probe per band (Lv et al. 2007) — each query probes its own
+    * band bucket plus the 3 one-bit-flip buckets, so a near neighbor is
+    * missed only if every band differs by >=2 bits. Round 1's single
+    * exact-bucket probe had unmeasured (poor) recall; this version's
+    * recall@5 vs bruteTopK is asserted in DedupSpec and gated per-query by
+    * [[lshRecall]] through the driver oracle.
+    *
+    * Scale note: still a bounded-key join (16 probe keys per query, 4 band
+    * keys per corpus vector) — the shape that survives 10^9 vectors. The
+    * (bands, bits, probe radius) triple is the recall/cost dial: this
+    * fixture's embeddings are isotropic noise (top-5 cosines ~0.3, i.e.
+    * ~72 deg), the hardest possible regime for angular LSH, so the wide
+    * probe radius needed for high recall here admits a large candidate
+    * fraction; on clustered production embeddings the same radius is far
+    * more selective because the similarity gap is real. */
   def lshTopK(spark: SparkSession, sfDir: String, nQueries: Int = 16, k: Int = 5): DataFrame = {
     val dim = 64
     val planes: Array[Array[Double]] =
@@ -136,18 +151,53 @@ object Ann {
       }
       sig
     })
+    val bitsPerBand = LshBits / LshBands
+    val mask = (1 << bitsPerBand) - 1
+    val bandCols = (0 until LshBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask)).as("bb"))
+    }
     val e = emb(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("sig", sigUdf(col("v")))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("sig"))
-    val scored = e.join(broadcast(q), Seq("sig"))
+    val banded = e.select(col("vec_id"), col("v"), col("sig"),
+      explode(array(bandCols: _*)).as("b"))
+      .select(col("vec_id"), col("v"), col("b.band"), col("b.bb"))
+    // query side probes its own band bucket + every Hamming-1 flip
+    val flips = (0 until bitsPerBand).map(f => 1 << f)
+    val q = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"),
+        explode(array((lit(0) +: flips.map(lit)): _*)).as("flip"),
+        col("bb").as("bb0"))
+      .select(col("q_id"), col("qv"), col("band"),
+        col("bb0").bitwiseXOR(col("flip")).as("bb"))
+    val cand = banded.join(broadcast(q), Seq("band", "bb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .select("q_id", "qv", "vec_id", "v")
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.withColumn("cos", cosine(col("qv"), col("v")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Per-query recall@k of [[lshTopK]] against the exact [[bruteTopK]],
+    * reduced to the oracle-able per-query gate `recall_ok` (recall >= 0.8,
+    * i.e. >= 4 of the true top-5 surfaced). The oracle asserts TRUE for
+    * every query — a hard driver-checked recall floor for the approximate
+    * path. */
+  def lshRecall(spark: SparkSession, sfDir: String, nQueries: Int = 16, k: Int = 5,
+      minRecall: Double = 0.8): DataFrame = {
+    val brute = bruteTopK(spark, sfDir, nQueries, k).select("q_id", "neighbor")
+    val approx = lshTopK(spark, sfDir, nQueries, k).select("q_id", "neighbor")
+    val hits = brute.join(approx, Seq("q_id", "neighbor"), "left_semi")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("hits"))
+    brute.select("q_id").distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("hits"), lit(0L)) >= math.ceil(minRecall * k).toLong).as("recall_ok"))
   }
 }

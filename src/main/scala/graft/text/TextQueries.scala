@@ -69,6 +69,19 @@ object TextQueries {
   private val D = "documents"
 
   val oracles: Map[String, String] = Map(
+    // the rolling hash fp(s) = sum_i s[i]*31^i mod 2^64 re-expressed as a
+    // left fold over the reversed string (Horner), in HUGEINT with an
+    // explicit mod-2^64 per step, then re-signed to match Spark's LongType
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
+         |            ELSE fp_u END AS BIGINT) AS fingerprint
+         |FROM (
+         |  SELECT doc_id, list_reduce(
+         |    list_prepend(CAST(0 AS HUGEINT),
+         |      [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
+         |    (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
+         |  FROM $D)""".stripMargin,
     "ta_tokens" ->
       s"""SELECT doc_id,
          |  cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,

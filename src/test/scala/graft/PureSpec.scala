@@ -42,6 +42,52 @@ class PureSpec extends AnyFunSuite {
     assert(Wav.frameRms(b, 20).length == 5)
   }
 
+  test("validateVsClean == decode + snrVsClean + length (fused path parity)") {
+    for {
+      sr <- Seq(8000, 22050, 48000)
+      dur <- Seq(20, 105, 499)
+      snr <- Seq(Wav.CleanSnrDb, Wav.CorruptSnrDb)
+      extra <- Seq(0, 7)
+    } {
+      val b = Wav.synth(11, 13, sr, dur, snr, extra)
+      assert(b.length == Wav.synthLen(sr, dur, extra))
+      val (fusedSnr, fusedN) = Wav.validateVsClean(b, b.length, 11)
+      val Some((_, samples)) = Wav.decode(b)
+      val refSnr = Wav.snrVsClean(b, 11)
+      assert(fusedN == samples.length.toLong)
+      assert(fusedSnr == refSnr, s"sr=$sr dur=$dur snr=$snr")
+    }
+    assert(Wav.validateVsClean(Array[Byte](1, 2, 3), 3, 1) == ((Double.NaN, -1L))
+      || Wav.validateVsClean(Array[Byte](1, 2, 3), 3, 1)._2 == -1L)
+  }
+
+  test("frameStats == frameRms-derived features (fused path parity)") {
+    for (sr <- Seq(8000, 44100); dur <- Seq(20, 347)) {
+      val b = Wav.synth(3, 9, sr, dur)
+      val rms = Wav.frameRms(b, 20)
+      val (n, mean, mx, _) = Wav.frameStats(b, b.length, 20)
+      assert(n == rms.length.toLong)
+      assert(mean == rms.sum / rms.length)
+      assert(mx == rms.max)
+    }
+  }
+
+  test("measured mean-square power matches closed form within tolerance") {
+    // worst case for partial-cycle wobble: lowest frequency, shortest clip
+    for {
+      seed <- Seq(0L, 123L, 599L) // freq 200..799
+      sr <- Seq(8000, 48000)
+      dur <- Seq(20, 499)
+      snr <- Seq(Wav.CleanSnrDb, Wav.CorruptSnrDb)
+    } {
+      val b = Wav.synth(seed, seed + 1, sr, dur, snr)
+      val (_, _, _, meanSq) = Wav.frameStats(b, b.length, 20)
+      val expected = Wav.expectedMeanSq(snr)
+      assert(math.abs(meanSq - expected) < graft.audio.AudioQueries.PowerTolerance,
+        s"seed=$seed sr=$sr dur=$dur snr=$snr meanSq=$meanSq expected=$expected")
+    }
+  }
+
   test("t-digest quantiles within 1% of exact on uniform data") {
     val xs = (1 to 10000).map(_.toLong)
     var buf = TDigest.empty()
