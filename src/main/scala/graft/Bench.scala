@@ -31,8 +31,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
-    // 1. per-query timings at the requested parallelism
+    // 1. per-query timings at the requested parallelism. A full untimed
+    //    warmup pass at the smallest sf first: otherwise the alphabetically
+    //    first query absorbs all JVM/JIT/codegen/session startup and its
+    //    number is not comparable to the rest (round-1 ann_ivf artifact).
     var spark = newSession(cpus)
+    val warmSf = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmSf).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
@@ -83,8 +91,12 @@ object Bench {
          |**Scaling efficiency (throughput32 / throughput8) / 4 = $efficiency%.3f**
          |(north-rule criterion: >= 0.8).
          |""".stripMargin
-    try Files.writeString(Paths.get("/root/repo/BENCH.md"), benchMd)
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
+    // only the real benchmark scale updates the committed artifact — a
+    // smoke run at sf0.001 must not clobber BENCH.md with startup-dominated
+    // numbers that say nothing about scaling
+    if (sfDir.contains("sf0.1"))
+      try Files.writeString(Paths.get("/root/repo/BENCH.md"), benchMd)
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -19,6 +19,7 @@ object Cli {
       indent: Int = 2,
       skipJsonLoads: Boolean = false,
       schema: Option[String] = None,
+      schemaModel: Option[String] = None,
       strict: Boolean = false,
       salvage: Boolean = false)
 
@@ -39,6 +40,7 @@ object Cli {
           case "--indent" => i += 1; a = a.copy(indent = argv(i).toInt)
           case "--skip-json-loads" => a = a.copy(skipJsonLoads = true)
           case "--schema" => i += 1; a = a.copy(schema = Some(argv(i)))
+          case "--schema-model" => i += 1; a = a.copy(schemaModel = Some(argv(i)))
           case "--strict" => a = a.copy(strict = true)
           case "--schema-repair-mode" =>
             i += 1
@@ -66,26 +68,38 @@ object Cli {
     if (a.inline && a.output.isDefined) {
       System.err.println("Error: You cannot pass both --inline and --output"); return 1
     }
-    if (a.strict && a.schema.isDefined) {
-      System.err.println("Error: --strict cannot be used with --schema"); return 1
+    if (a.schema.isDefined && a.schemaModel.isDefined) {
+      System.err.println("Error: You cannot pass both --schema and --schema-model"); return 1
     }
-    if (a.salvage && a.schema.isEmpty) {
-      System.err.println("Error: --schema-repair-mode salvage requires --schema"); return 1
+    if (a.strict && (a.schema.isDefined || a.schemaModel.isDefined)) {
+      System.err.println("Error: --strict cannot be used with --schema or --schema-model"); return 1
+    }
+    if (a.salvage && a.schema.isEmpty && a.schemaModel.isEmpty) {
+      System.err.println("Error: --schema-repair-mode salvage requires --schema or --schema-model")
+      return 1
     }
 
     try {
-      val data = a.filename match {
-        case Some(f) => Files.readString(Paths.get(f))
+      // files go through the windowed chunked reader (reference cli() routes
+      // files through from_file / StringFileWrapper); stdin is a string
+      val data: CharSequence = a.filename match {
+        case Some(f) => new graft.io.ChunkedFileReader(Paths.get(f))
         case None => readStdin()
       }
-      val result: JsonValue = a.schema match {
-        case Some(schemaFile) =>
+      val schemaValue: Option[JsonValue] = (a.schema, a.schemaModel) match {
+        case (Some(schemaFile), _) =>
           val schemaJson = Files.readString(Paths.get(schemaFile))
-          val schema = PyJson.loads(schemaJson).getOrElse {
+          Some(PyJson.loads(schemaJson).getOrElse {
             System.err.println("Error: schema file is not valid JSON"); return 1
-          }
+          })
+        case (None, Some(model)) => Some(SchemaOf.forModel(model))
+        case _ => None
+      }
+      val result: JsonValue = schemaValue match {
+        case Some(schema) =>
           SchemaRepair.loads(data, schema,
-            if (a.salvage) SchemaRepair.Salvage else SchemaRepair.Standard)
+            if (a.salvage) SchemaRepair.Salvage else SchemaRepair.Standard,
+            skipJsonLoads = a.skipJsonLoads)
         case None =>
           if (a.strict) JsonRepair.validate(data) match {
             case Right(v) => v

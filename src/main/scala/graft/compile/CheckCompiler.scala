@@ -78,7 +78,22 @@ object CheckCompiler {
           lit("missing_ref").as("detail"))
     }
 
-    (rowViol.toSeq ++ uniqViol ++ refViol).reduce(_.unionByName(_))
+    val parts = rowViol.toSeq ++ uniqViol ++ refViol
+    parts.reduceOption(_.unionByName(_)).getOrElse {
+      // suite with no checks -> empty result with the violation schema
+      val spark = df.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("clip_id",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("check_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("column_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("detail",
+            org.apache.spark.sql.types.StringType))))
+    }
   }
 
   /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
@@ -95,8 +110,12 @@ object CheckCompiler {
       cur = cur.withColumn(s"__dup_${u.column}", count(lit(1)).over(w) > 1)
     }
     suite.refChecks.foreach { r =>
+      // distinct BEFORE the presence join: a ref table with duplicate keys
+      // must not multiply matching rows (it would inflate n_rows/n_bad;
+      // the violations path is naturally safe via left_anti)
       val refDf = suite.refs(r.refName)
         .select(col(suite.refs(r.refName).columns.head).as(r.column))
+        .distinct()
         .withColumn(s"__present_${r.name}", lit(1))
       cur = cur.join(refDf, Seq(r.column), "left")
         .withColumn(s"__miss_${r.name}", col(s"__present_${r.name}").isNull)

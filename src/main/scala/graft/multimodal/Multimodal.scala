@@ -10,9 +10,11 @@ import graft.audio.Wav
   * as batch-shaped `mapPartitions` (the Scala analogue of `mapInPandas` —
   * one decoder instantiation per partition, row batches streamed through).
   *
-  * Audio decode is REAL (WAV PCM16, graft.audio.Wav). Image/video decode is
-  * STUBBED behind [[FakeImageCodec]] — the sandbox ships no image/audio
-  * libraries, so the stub is a clearly-marked deterministic fake; the Spark
+  * Audio decode is REAL (WAV PCM16, graft.audio.Wav). Image decode is REAL
+  * (PNG/JPEG via javax.imageio, which ships in the JDK — [[ImageCodec]]),
+  * with [[FakeImageCodec]] as the clearly-marked deterministic fallback for
+  * payloads javax.imageio cannot read. Video decode remains STUBBED behind
+  * [[FakeImageCodec]] — the sandbox ships no video libraries; the Spark
   * plumbing (schema, partitioning, batch shape, feature signature) is real
   * and tested, and a real codec drops into the same seam.
   */
@@ -24,10 +26,64 @@ object Multimodal {
       width: Int, height: Int, n_frames: Int,
       mean_intensity: Double)
 
-  /** STUB: deterministic fake image decoder. A real build replaces this
-    * object with javax.imageio / ffmpeg bindings; everything downstream is
-    * agnostic to the swap. Pixels are derived from a rolling hash of the
-    * payload so features are reproducible. */
+  /** REAL image codec: PNG/JPEG decode via the JDK's javax.imageio. */
+  object ImageCodec {
+    /** (width, height, luma plane 0..255 row-major), or None when the
+      * payload is not a decodable image (javax.imageio returns null). */
+    def decodeLuma(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF
+            val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            // integer Rec.601 luma
+            out(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, out))
+      }
+    }
+
+    /** Encode a luma plane as a real PNG (test-data generator). RGB with
+      * r=g=b so setRGB/getRGB are exact (TYPE_BYTE_GRAY would run a gray<->
+      * sRGB colorspace conversion and break the lossless round-trip). */
+    def encodePng(w: Int, h: Int, luma: Array[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = luma(y * w + x) & 0xFF
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** STUB: deterministic fake decoder for VIDEO payloads (and the fallback
+    * for undecodable image bytes). A real build replaces this object with
+    * ffmpeg bindings; everything downstream is agnostic to the swap. Pixels
+    * are derived from a rolling hash of the payload so features are
+    * reproducible. */
   object FakeImageCodec {
     def dimensions(bytes: Array[Byte]): (Int, Int) = {
       // fake: dimensions encoded by payload length (as a real header would)
@@ -83,7 +139,17 @@ object Multimodal {
             val mean = if (frames.isEmpty) 0.0 else frames.sum / frames.length
             MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong,
               0, 0, frames.length, mean)
-          case _ => // image/video: STUB decode, real plumbing
+          case mime if mime.startsWith("image/") =>
+            // REAL decode via javax.imageio; hash-stub only if undecodable
+            val (w, h, px) = ImageCodec.decodeLuma(m.bytes).getOrElse {
+              val (fw, fh) = FakeImageCodec.dimensions(m.bytes)
+              (fw, fh, FakeImageCodec.decodeLuma(m.bytes, fw, fh))
+            }
+            val thumb = FakeImageCodec.resize(px, w, h, 32, 32)
+            val mean = thumb.sum.toDouble / thumb.length / 255.0
+            MediaFeatures(m.media_id, m.mime, m.bytes.length.toLong,
+              w, h, 1, mean)
+          case _ => // video: STUB decode, real plumbing
             val (w, h) = FakeImageCodec.dimensions(m.bytes)
             val px = FakeImageCodec.decodeLuma(m.bytes, w, h)
             val thumb = FakeImageCodec.resize(px, w, h, 32, 32)
@@ -95,15 +161,24 @@ object Multimodal {
     }
   }
 
-  /** Demo table: clips' real WAV bytes as `audio/wav` rows plus synthetic
-    * binary blobs as fake `image/png` rows. */
+  /** Demo table: clips' real WAV bytes as `audio/wav` rows, genuine PNG
+    * payloads (deterministic gradient planes encoded by the JDK PNG writer)
+    * as `image/png` rows, and synthetic blobs as stub-decoded `video/mp4`
+    * rows. */
   def demoTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
     import spark.implicits._
     val audio = graft.audio.AudioQueries.full(spark, sfDir)
       .map(c => MediaFile(c.ord, "audio/wav", c.bytes))
     val images = spark.range(0, 200).as[Long]
-      .map(i => MediaFile(1000000 + i, "image/png",
+      .map { i =>
+        val w = 16 + (i % 17).toInt
+        val h = 16 + (i % 13).toInt
+        val luma = Array.tabulate(w * h)(p => ((i * 31 + p * 7) % 256).toInt)
+        MediaFile(1000000 + i, "image/png", ImageCodec.encodePng(w, h, luma))
+      }
+    val videos = spark.range(0, 50).as[Long]
+      .map(i => MediaFile(2000000 + i, "video/mp4",
         Array.tabulate(64 + (i % 1000).toInt)(j => ((i * 31 + j) % 251).toByte)))
-    audio.union(images)
+    audio.union(images).union(videos)
   }
 }

@@ -153,7 +153,7 @@ object PyJson {
   final class JsonError(msg: String) extends RuntimeException(msg)
 
   /** Full-string parse: value with surrounding whitespace only. */
-  def loads(s: String): Option[JsonValue] =
+  def loads(s: CharSequence): Option[JsonValue] =
     try {
       val p = new StrictParser(s)
       p.skipWs()
@@ -164,7 +164,7 @@ object PyJson {
 
   /** Prefix parse from `from` (CPython `raw_decode`): returns value + end
     * index; no leading-whitespace skip, trailing garbage permitted. */
-  def rawDecode(s: String, from: Int): Option[(JsonValue, Int)] =
+  def rawDecode(s: CharSequence, from: Int): Option[(JsonValue, Int)] =
     try {
       val p = new StrictParser(s)
       p.i = from
@@ -172,7 +172,7 @@ object PyJson {
       Some((v, p.i))
     } catch { case _: JsonError | _: StringIndexOutOfBoundsException => None }
 
-  private final class StrictParser(s: String) {
+  private final class StrictParser(s: CharSequence) {
     var i = 0
     private def err(): Nothing = throw new JsonError(s"bad json at $i")
     private def ch: Char = if (i < s.length) s.charAt(i) else err()
@@ -201,7 +201,7 @@ object PyJson {
     }
 
     private def expect(lit: String): Unit = {
-      if (i + lit.length > s.length || s.substring(i, i + lit.length) != lit) err()
+      if (i + lit.length > s.length || s.subSequence(i, i + lit.length).toString != lit) err()
       i += lit.length
     }
 
@@ -264,7 +264,7 @@ object PyJson {
             case 't' => sb.append('\t'); i += 1
             case 'u' =>
               if (i + 5 > s.length) err()
-              val hex = s.substring(i + 1, i + 5)
+              val hex = s.subSequence(i + 1, i + 5).toString
               if (!hex.forall(h => "0123456789abcdefABCDEF".indexOf(h) >= 0)) err()
               sb.append(Integer.parseInt(hex, 16).toChar)
               i += 5
@@ -296,7 +296,7 @@ object PyJson {
         if (!(i < s.length && s.charAt(i).isDigit)) err()
         while (i < s.length && s.charAt(i).isDigit) i += 1
       }
-      val text = s.substring(start, i)
+      val text = s.subSequence(start, i).toString
       if (isFloat) JFloat(text.toDouble) else JInt(BigInt(text))
     }
   }

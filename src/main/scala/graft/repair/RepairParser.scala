@@ -33,7 +33,7 @@ object RepairParser {
 
   private val NumberChars = "0123456789-.eE/,_"
 
-  def repairToValue(input: String, strict: Boolean = false,
+  def repairToValue(input: CharSequence, strict: Boolean = false,
       tryValidJsonSuffix: Boolean = true, streamStable: Boolean = false): JsonValue =
     new RepairParser(input, strict, tryValidJsonSuffix, streamStable).parse()
 
@@ -42,7 +42,7 @@ object RepairParser {
   final case class LogEntry(text: String, context: String)
 }
 
-final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boolean,
+final class RepairParser(input: CharSequence, strict: Boolean, tryValidJsonSuffix: Boolean,
     streamStable: Boolean = false,
     val logger: Option[mutable.Buffer[RepairParser.LogEntry]] = None) {
   import RepairParser._
@@ -53,10 +53,18 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   private def log(text: String): Unit = logger.foreach { buf =>
     val start = math.max(index - 10, 0)
     val end = math.min(index + 10, s.length)
-    buf += LogEntry(text, s.substring(start, end))
+    buf += LogEntry(text, sub(start, end))
   }
 
-  private var s: String = input // mutated by two repairs (splice/normalize)
+  // CharSequence, not String: a windowed ChunkedFileReader (the reference's
+  // StringFileWrapper analogue) parses lazily through the same code path;
+  // the two splice repairs below materialize to String, as the reference's
+  // json_str slicing does on a file wrapper.
+  private var s: CharSequence = input // mutated by two repairs (splice/normalize)
+
+  /** String copy of s[a, b) — the CharSequence-safe substring. */
+  private def sub(a: Int, b: Int): String = s.subSequence(a, b).toString
+  private def sub(a: Int): String = sub(a, s.length)
   private var index: Int = 0
   private val context = mutable.ArrayBuffer.empty[Ctx]
   private val deferredContexts = mutable.ArrayBuffer.empty[Ctx]
@@ -320,7 +328,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
             log("While parsing an object we found a duplicate key, closing the object here and rolling back the index")
             // close the object here and splice a '{' back into the input
             index = rollbackIndex - 1
-            s = s.substring(0, index + 1) + "{" + s.substring(index + 1)
+            s = sub(0, index + 1) + "{" + sub(index + 1)
             break = true
           } else {
             log("While parsing an object we found a duplicate key with a normal comma separator, keeping duplicate-key overwrite behavior")
@@ -492,8 +500,8 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
       case ("object", Some(normalized)) =>
         log("Parsed object is empty but the input starts like an escaped object key, normalizing and reparsing it as an object")
         val endIndex = index + 1
-        s = s.substring(0, startIndex - 1) + normalized +
-          (if (endIndex <= s.length) s.substring(endIndex) else "")
+        s = sub(0, startIndex - 1) + normalized +
+          (if (endIndex <= s.length) sub(endIndex) else "")
         index = startIndex
         ctxSet(CtxKey)
         val repaired = try parseObject(schema, path) finally ctxReset()
@@ -523,7 +531,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   /** ("keep" | "object" | "schema_set_object" | "array", normalizedText?) */
   private def classifyEmptyObjectRepair(startIndex: Int, schema: JsonValue,
       repairer: Option[SchemaRepairer]): (String, Option[String]) = {
-    val attempted = s.substring(math.max(0, startIndex - 1), math.min(s.length, index + 1))
+    val attempted = sub(math.max(0, startIndex - 1), math.min(s.length, index + 1))
     var body = attempted.drop(1)
     if (body.endsWith("}")) body = body.dropRight(1)
     body = body.dropWhile(isSpace)
@@ -769,8 +777,8 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     val idx = scrollWhitespaces(1)
     val first = at(idx)
     if (first == NUL) return false
-    val lit4 = if (index + idx + 4 <= s.length) s.substring(index + idx, index + idx + 4) else ""
-    val lit5 = if (index + idx + 5 <= s.length) s.substring(index + idx, index + idx + 5) else ""
+    val lit4 = if (index + idx + 4 <= s.length) sub(index + idx, index + idx + 4) else ""
+    val lit5 = if (index + idx + 5 <= s.length) sub(index + idx, index + idx + 5) else ""
     if (first != ')' && first != '{' && first != '[' && first != '(' && !isDelim(first) &&
         !Character.isDigit(first) && first != '-' && first != '.' &&
         lit4 != "true" && lit4 != "null" && lit5 != "false") return false
@@ -985,9 +993,14 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   private def trySimpleQuotedString(): Option[String] = {
     if (at() != '"') return None
     val start = index + 1
-    val end = s.indexOf('"', start)
+    var end = -1
+    var scanI = start
+    val scanN = s.length
+    while (end == -1 && scanI < scanN) {
+      if (s.charAt(scanI) == '"') end = scanI else scanI += 1
+    }
     if (end == -1) return None
-    val value = s.substring(start, end)
+    val value = sub(start, end)
     if (value.indexOf('\\') >= 0 || value.indexOf('\n') >= 0 || value.indexOf('\r') >= 0) return None
     var nextIndex = end + 1
     while (nextIndex < s.length && isSpace(s.charAt(nextIndex))) nextIndex += 1
@@ -1023,9 +1036,9 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
   }
 
   private def parseJsonLlmBlock(): Option[JsonValue] = {
-    if (index + 7 <= s.length && s.substring(index, index + 7) == "```json") {
+    if (index + 7 <= s.length && sub(index, index + 7) == "```json") {
       val i = skipToCharacter("`", 7)
-      if (index + i + 3 <= s.length && s.substring(index + i, index + i + 3) == "```") {
+      if (index + i + 3 <= s.length && sub(index + i, index + i + 3) == "```") {
         index += 7
         return Some(parseJson())
       }
@@ -1160,7 +1173,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
     if (char == 'u' || char == 'x') {
       val numChars = if (char == 'u') 4 else 2
       if (index + 1 + numChars <= s.length) {
-        val hex = s.substring(index + 1, index + 1 + numChars)
+        val hex = sub(index + 1, index + 1 + numChars)
         if (hex.forall(c => "0123456789abcdefABCDEF".indexOf(c) >= 0)) {
           log("Found a unicode escape sequence, normalizing it")
           st.replaceLast(new String(Character.toChars(Integer.parseInt(hex, 16))))
@@ -1600,7 +1613,7 @@ final class RepairParser(input: String, strict: Boolean, tryValidJsonSuffix: Boo
           log("While parsing a string in object value context, we found a balanced inline container that belongs to the string, keeping it")
           st.pendingInlineContainer = false
           st.inlineStack.clear()
-          st.append(s.substring(index, index + containerEndIdx))
+          st.append(sub(index, index + containerEndIdx))
           index += containerEndIdx
           char = at()
           continueLoop = true

@@ -17,6 +17,32 @@ object SchemaOf {
   def apply[T <: Product: scala.reflect.runtime.universe.TypeTag]: JsonValue =
     fromStructType(org.apache.spark.sql.Encoders.product[T].schema)
 
+  /** Runtime analogue of the reference's `load_schema_model`
+    * (schema_repair.py:63-71, 'module:ClassName'): resolve a model by name
+    * and derive its guiding schema. Accepts either a fully-qualified Scala
+    * case-class name (resolved reflectively to its Catalyst schema) or a
+    * Spark DDL struct string (e.g. "k INT NOT NULL, name STRING"). */
+  def forModel(spec: String): JsonValue = {
+    val byClass: Option[StructType] =
+      try {
+        val m = scala.reflect.runtime.universe.runtimeMirror(getClass.getClassLoader)
+        val tpe = m.staticClass(spec).selfType
+        org.apache.spark.sql.catalyst.ScalaReflection.schemaFor(tpe).dataType match {
+          case s: StructType => Some(s)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val st = byClass.getOrElse {
+      try StructType.fromDDL(spec)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          throw new IllegalArgumentException(
+            s"Schema model '$spec' is neither a resolvable case class nor a DDL struct.")
+      }
+    }
+    fromStructType(st)
+  }
+
   def fromStructType(st: StructType): JsonValue = {
     val props = mutable.LinkedHashMap.empty[String, JsonValue]
     val required = mutable.ArrayBuffer.empty[JsonValue]

@@ -28,9 +28,13 @@ object SchemaRepair {
   case object Salvage extends Mode
 
   /** Entry point mirroring `loads(json_str, schema=...)`. */
-  def loads(input: String, schema: JsonValue, mode: Mode = Standard): JsonValue = {
+  /** `skipJsonLoads` mirrors the reference's flag with schema present
+    * (json_repair.py:168-170): skip the whole-input strict-decode fast path
+    * and go straight to the schema-threaded repair parse. */
+  def loads(input: CharSequence, schema: JsonValue, mode: Mode = Standard,
+      skipJsonLoads: Boolean = false): JsonValue = {
     val r = new SchemaRepairer(schema, mode)
-    PyJson.loads(input) match {
+    if (!skipJsonLoads) PyJson.loads(input) match {
       case Some(v) if r.isValid(v, schema) => return v
       case Some(v) =>
         try {

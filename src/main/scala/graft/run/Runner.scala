@@ -35,14 +35,22 @@ object Runner {
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
-  /** Buckets already completed according to the manifest. */
+  private val BucketRe = """"bucket"\s*:\s*(\d+)""".r
+
+  /** Buckets already completed according to the manifest: one atomic JSON
+    * per BATCH (all of its buckets committed together), so a crash anywhere
+    * before the single rename leaves NO bucket of that batch manifested and
+    * the retry recomputes the identical todo set into the identical
+    * batch-keyed output dirs (idempotent overwrite — no duplicate rows on
+    * read-back, which a per-bucket manifest loop could not guarantee). */
   def completedBuckets(outDir: String): Set[Long] = {
     val dir = manifestDir(outDir)
     if (!Files.isDirectory(dir)) Set.empty
     else Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
-      .filter(n => n.startsWith("bucket-") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("bucket-").stripSuffix(".json").toLong)
+      .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
+      .flatMap(n => BucketRe.findAllMatchIn(
+        Files.readString(dir.resolve(n))).map(_.group(1).toLong))
       .toSet
   }
 
@@ -76,23 +84,25 @@ object Runner {
     val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo))
     verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
 
-    // durable results exist for every bucket in this batch -> commit the
-    // manifest entries (atomic per bucket: temp + rename)
+    // durable results exist for every bucket in this batch -> commit ONE
+    // atomic manifest for the whole batch (temp + rename). All-or-nothing:
+    // a crash mid-write leaves the batch unmanifested, so the retry reuses
+    // the same todo set / batchId and overwrites the same output dirs.
     val results = verdicts.collect().map(r =>
       BucketResult(r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val wallMs = (System.nanoTime() - t0) / 1000000
     val byBucket = results.map(r => r.bucket -> r).toMap
-    todo.foreach { b =>
+    val entries = todo.map { b =>
       // buckets with zero input rows still complete (empty result)
       val r = byBucket.getOrElse(b, BucketResult(b, 0L, 0L, pass = true))
-      val json =
-        s"""{"bucket": ${r.bucket}, "n_rows": ${r.nRows}, "n_bad": ${r.nBad}, """ +
-          s""""pass": ${r.pass}, "batch": "$batchId", "wall_ms_batch": $wallMs}"""
-      val tmp = manifestDir(outDir).resolve(s".bucket-$b.tmp")
-      Files.writeString(tmp, json)
-      Files.move(tmp, manifestDir(outDir).resolve(s"bucket-$b.json"),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      s"""{"bucket": ${r.bucket}, "n_rows": ${r.nRows}, "n_bad": ${r.nBad}, "pass": ${r.pass}}"""
     }
+    val json =
+      s"""{"batch": "$batchId", "wall_ms": $wallMs, "buckets": [${entries.mkString(", ")}]}"""
+    val tmp = manifestDir(outDir).resolve(s".batch-$batchId.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifestDir(outDir).resolve(s"batch-$batchId.json"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     RunSummary(results.toSeq.sortBy(_.bucket), done.toSeq.sorted)
   }
 

@@ -56,5 +56,30 @@ class CliSpec extends AnyFunSuite {
     assert(captureOut(Cli.run(Array("-i"), () => ""))._1 == 1)
     assert(captureOut(Cli.run(Array("--strict", "--schema", "x.json"), () => ""))._1 == 1)
     assert(captureOut(Cli.run(Array("--schema-repair-mode", "salvage"), () => ""))._1 == 1)
+    // reference: --schema and --schema-model are mutually exclusive; strict
+    // excludes the model form too (tests/test_repair_json_cli.py:149-176)
+    assert(captureOut(
+      Cli.run(Array("--schema", "x.json", "--schema-model", "a.B"), () => ""))._1 == 1)
+    assert(captureOut(
+      Cli.run(Array("--strict", "--schema-model", "a.B"), () => ""))._1 == 1)
+  }
+
+  test("schema-model guides repair (reference test_cli_schema_model_guides_repair)") {
+    // case-class form: a typed model drives the coercion of "1" -> 1
+    val (code, out) = captureOut(Cli.run(
+      Array("--indent", "0", "--schema-model", "graft.SchemaModelFixture",
+        "--skip-json-loads"),
+      () => """{"value": "1"}"""))
+    assert(code == 0)
+    assert(out == "{\n\"value\": 1\n}\n")
+    // DDL form resolves too
+    val (code2, out2) = captureOut(Cli.run(
+      Array("--indent", "0", "--schema-model", "value INT NOT NULL"),
+      () => """{"value": "2"}"""))
+    assert(code2 == 0)
+    assert(out2 == "{\n\"value\": 2\n}\n")
   }
 }
+
+/** Typed schema model for the --schema-model CLI path (pydantic analog). */
+final case class SchemaModelFixture(value: Int)

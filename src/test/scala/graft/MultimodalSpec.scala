@@ -22,17 +22,36 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     val audio = feats.filter(_.mime == "audio/wav")
     val images = feats.filter(_.mime == "image/png")
-    assert(audio.length == 1500 && images.length == 200)
+    val videos = feats.filter(_.mime == "video/mp4")
+    assert(audio.length == 1500 && images.length == 200 && videos.length == 50)
     // audio: real decode — frame counts positive, RMS near sine amplitude/sqrt2
     assert(audio.forall(_.n_frames > 0))
     val rms = audio.map(_.mean_intensity)
     assert(rms.sum / rms.length > 0.3 && rms.sum / rms.length < 0.5)
-    // images: stub decode — plausible dims and normalized intensity
-    assert(images.forall(f => f.width >= 16 && f.height >= 16))
-    assert(images.forall(f => f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0))
+    // images: REAL javax.imageio decode — dims must equal the encoded dims
+    images.foreach { f =>
+      val i = f.media_id - 1000000
+      assert(f.width == 16 + (i % 17).toInt, s"id=${f.media_id}")
+      assert(f.height == 16 + (i % 13).toInt, s"id=${f.media_id}")
+    }
+    assert(images.forall(f => f.mean_intensity > 0.0 && f.mean_intensity < 1.0))
+    // videos: stub decode — plausible dims and normalized intensity
+    assert(videos.forall(f => f.width >= 16 && f.height >= 16))
+    assert(videos.forall(f => f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0))
     // determinism: rerun equals first run
     val again = Multimodal.extractFeatures(Multimodal.demoTable(spark, sfDir))
       .collect().map(f => f.media_id -> f.mean_intensity).toMap
     assert(feats.forall(f => again(f.media_id) == f.mean_intensity))
+  }
+
+  test("real PNG round-trip: encode then decode recovers pixels exactly") {
+    val w = 20; val h = 11
+    val luma = Array.tabulate(w * h)(p => (p * 13) % 256)
+    val png = Multimodal.ImageCodec.encodePng(w, h, luma)
+    // a genuine PNG signature, not a stub blob
+    assert((png(0) & 0xFF) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val Some((dw, dh, decoded)) = Multimodal.ImageCodec.decodeLuma(png)
+    assert(dw == w && dh == h)
+    assert(decoded.sameElements(luma))
   }
 }
