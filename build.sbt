@@ -28,4 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Fixed background-thread budget: GC/JIT helper threads otherwise scale
+  // with the machine's 32 CPUs and silently subsidize low-parallelism runs
+  // (a real multi-executor cluster gives each executor JVM its own fixed
+  // GC threads, so this also mirrors the N-vs-4N-executor regime the
+  // scaling bench stands in for).
+  "-XX:ParallelGCThreads=4",
+  "-XX:ConcGCThreads=2",
+  "-XX:CICompilerCount=4",
 )

@@ -35,9 +35,18 @@ object CheckCompiler {
 
   /** One struct per failing check, exploded to violation rows.
     * `scope` = the set of buckets to report on (None = all). */
-  def violations(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame = {
+  def violations(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame =
+    violationsWithBucket(df, suite, scope).drop("bucket")
+
+  /** [[violations]] plus the owning bucket per row — the Runner writes this
+    * shape partitioned by bucket so retries overwrite per-bucket dirs
+    * idempotently (uniqueness violations are owned by the group's min
+    * bucket, same attribution rule the scope filter uses). */
+  def violationsWithBucket(df: DataFrame, suite: CheckSuite,
+      scope: Option[Seq[Long]] = None): DataFrame = {
     val key = col(suite.keyColumn)
-    val scoped = scope.map(b => df.filter(col(suite.bucketColumn).isin(b: _*))).getOrElse(df)
+    val bkt = col(suite.bucketColumn)
+    val scoped = scope.map(b => df.filter(bkt.isin(b: _*))).getOrElse(df)
 
     val rowViol: Option[DataFrame] =
       if (suite.rowChecks.isEmpty) None
@@ -49,15 +58,17 @@ object CheckCompiler {
               lit(c.column).as("column_name"),
               coalesce(c.detail, lit("")).as("detail")))
         }
-        scoped.select(key.as("clip_id"), explode(array_compact(array(structs: _*))).as("v"))
-          .select(col("clip_id"), col("v.check_name"), col("v.column_name"), col("v.detail"))
+        scoped.select(key.as("clip_id"), bkt.as("bucket"),
+            explode(array_compact(array(structs: _*))).as("v"))
+          .select(col("clip_id"), col("v.check_name"), col("v.column_name"),
+            col("v.detail"), col("bucket"))
       }
 
     val uniqViol: Seq[DataFrame] = suite.uniqueChecks.map { u =>
       val grouped = df.groupBy(col(u.column).as("clip_id"))
         .agg(
           count(lit(1)).as("cnt"),
-          min(col(suite.bucketColumn)).as("__owner"))
+          min(bkt).as("__owner"))
         .filter(col("cnt") > 1)
       scope.map(b => grouped.filter(col("__owner").isin(b: _*)))
         .getOrElse(grouped)
@@ -65,7 +76,8 @@ object CheckCompiler {
           col("clip_id"),
           lit(u.name).as("check_name"),
           lit(u.column).as("column_name"),
-          col("cnt").cast("string").as("detail"))
+          col("cnt").cast("string").as("detail"),
+          col("__owner").as("bucket"))
     }
 
     val refViol: Seq[DataFrame] = suite.refChecks.map { r =>
@@ -75,7 +87,8 @@ object CheckCompiler {
           col(r.column).as("clip_id"),
           lit(r.name).as("check_name"),
           lit(r.column).as("column_name"),
-          lit("missing_ref").as("detail"))
+          lit("missing_ref").as("detail"),
+          bkt.as("bucket"))
     }
 
     val parts = rowViol.toSeq ++ uniqViol ++ refViol
@@ -92,7 +105,9 @@ object CheckCompiler {
           org.apache.spark.sql.types.StructField("column_name",
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("detail",
-            org.apache.spark.sql.types.StringType))))
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType))))
     }
   }
 

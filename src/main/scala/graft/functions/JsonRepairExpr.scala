@@ -54,13 +54,29 @@ case class JsonSchemaRepairExpr(child: Expression, schemaJson: String, salvage: 
     copy(child = newChild)
 }
 
+/** `json_repair_actions(s)`: number of repair actions the logging repair
+  * pass records for the row (reference M1 `logging=True` at dataset level)
+  * — a native expression like its siblings so the whole jr_* family stays
+  * on one plan shape (no Scala UDF serialization in the hot path). */
+case class JsonRepairActionsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(
+      JsonRepair.repairWithLog(input.asInstanceOf[UTF8String].toString)._2.length)
+  override protected def withNewChildInternal(newChild: Expression): JsonRepairActionsExpr =
+    copy(child = newChild)
+}
+
 object JsonRepairFunctions {
-  /** Register both functions in the session registry; returns nothing. */
+  /** Register the repair functions in the session registry. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_repair", exprs => JsonRepairExpr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "json_strict_valid", exprs => JsonStrictValidExpr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "json_repair_actions", exprs => JsonRepairActionsExpr(exprs.head), "scala_udf")
   }
 
   def jsonRepair(spark: SparkSession, c: Column): Column = {
@@ -71,6 +87,11 @@ object JsonRepairFunctions {
   def jsonStrictValid(spark: SparkSession, c: Column): Column = {
     register(spark)
     org.apache.spark.sql.functions.call_function("json_strict_valid", c)
+  }
+
+  def jsonRepairActions(spark: SparkSession, c: Column): Column = {
+    register(spark)
+    org.apache.spark.sql.functions.call_function("json_repair_actions", c)
   }
 
   def jsonRepairSchema(spark: SparkSession, c: Column, schemaJson: String,

@@ -60,15 +60,14 @@ object RepairQueries {
   }
 
   /** Repair-lineage counts per row (M1 at dataset level): how many repair
-    * actions fired for each malformed payload. Hash-heuristic-dependent, so
-    * no SQL oracle; determinism asserted by the rows-only gate + tests. */
-  def repairActions(spark: SparkSession, sfDir: String): DataFrame = {
-    val countUdf = udf((s: String) =>
-      graft.repair.JsonRepair.repairWithLog(s)._2.length)
+    * actions fired for each malformed payload — a native expression, same
+    * plan shape as the sibling jr_* queries. Oracle: props is always the
+    * canonical {"k": <int>}, so the count is a fixed function of the
+    * injected class. */
+  def repairActions(spark: SparkSession, sfDir: String): DataFrame =
     events(spark, sfDir).select(
       col("event_id"),
-      countUdf(malformed).as("n_repair_actions"))
-  }
+      JsonRepairFunctions.jsonRepairActions(spark, malformed).as("n_repair_actions"))
 
   val oracles: Map[String, String] = Map(
     // props is always the canonical {"k": <int>}, so the repair-log length

@@ -75,14 +75,20 @@ object Runner {
     // on the key ahead of the key-shuffled operators (north rule).
     val repart = df.repartitionByRange(totalBuckets, col(suite.keyColumn))
 
-    // batch dir keyed by the todo set -> crash-and-retry rewrites the same
-    // directory (overwrite), never duplicates rows
+    // outputs are keyed PER BUCKET (dynamic partition overwrite): a retry
+    // recomputes its buckets into the same bucket=N dirs no matter how the
+    // todo set was batched, so a crash between the parquet writes and the
+    // manifest commit can never leave duplicate rows for the read-back —
+    // the Iceberg binding would replace this with snapshot commits.
     val batchId = todo.mkString("-").hashCode.toHexString
-    val violations = CheckCompiler.violations(repart, suite, Some(todo))
-    violations.write.mode("overwrite").parquet(s"$outDir/violations/batch=$batchId")
+    val dyn = Map("partitionOverwriteMode" -> "dynamic")
+    val violations = CheckCompiler.violationsWithBucket(repart, suite, Some(todo))
+    violations.write.mode("overwrite").options(dyn)
+      .partitionBy("bucket").parquet(s"$outDir/violations")
 
     val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo))
-    verdicts.write.mode("overwrite").parquet(s"$outDir/verdicts/batch=$batchId")
+    verdicts.write.mode("overwrite").options(dyn)
+      .partitionBy("bucket").parquet(s"$outDir/verdicts")
 
     // durable results exist for every bucket in this batch -> commit ONE
     // atomic manifest for the whole batch (temp + rename). All-or-nothing:
@@ -106,10 +112,15 @@ object Runner {
     RunSummary(results.toSeq.sortBy(_.bucket), done.toSeq.sorted)
   }
 
-  /** All verdicts accumulated across batches (for reading back results). */
+  /** All verdicts accumulated across batches (for reading back results).
+    * `bucket` is a partition directory on disk — restore its position and
+    * LongType (partition discovery infers int). */
   def verdicts(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/verdicts")
+      .withColumn("bucket", col("bucket").cast("long"))
+      .select("bucket", "n_rows", "n_bad", "pass")
 
   def violations(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/violations")
+      .select("clip_id", "check_name", "column_name", "detail")
 }

@@ -21,7 +21,11 @@ object ValidationPipeline {
     * survive the shift). Same job shape at k times the rows — the regime the
     * 10^12-row target actually runs in, where fixed stage overhead is noise. */
   def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
-    val base = ClipsTable.base(spark, sfDir)
+    // repartition the BASE (1/k of the rows) before the broadcast fan-out:
+    // the replicated rows inherit the partitioning, so the synth stage gets
+    // its fixed task granularity while the exchange carries only the
+    // unreplicated metadata
+    val base = ClipsTable.base(spark, sfDir).repartition(SynthPartitions)
     if (k <= 1) base
     else {
       // one scan, fan out via a tiny broadcast range join (not k unions)
@@ -59,8 +63,7 @@ object ValidationPipeline {
     // the 32-thread level's headroom and sink N->4N scaling efficiency),
     // and (c) only four narrow columns enter the clip_id shuffle — at
     // 10^12 rows the exchange carries bits, not audio.
-    val flagged = meta
-      .repartition(SynthPartitions)
+    val flagged = meta // already SynthPartitions-partitioned by replicatedBase
       .as[ClipMeta]
       .mapPartitions { it =>
         var buf = new Array[Byte](64 * 1024)

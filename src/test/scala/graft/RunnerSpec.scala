@@ -54,4 +54,38 @@ class RunnerSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).sorted
     assert(vResumed.toSeq == vOneShot.toSeq)
   }
+
+  test("crash before the batch manifest commit -> retry is idempotent (no duplicate rows)") {
+    val out = Files.createTempDirectory("graft-runner-crash").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    val suite = ClipQueries.suite(spark, sfDir)
+
+    // batch 1 completes normally
+    Runner.run(spark, clips, suite, out, maxBuckets = 10)
+    // batch 2 "crashes" AFTER its parquet writes but BEFORE the manifest
+    // rename: simulate by running it fully, then deleting its manifest
+    Runner.run(spark, clips, suite, out, maxBuckets = 10)
+    val batchFiles = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    Files.list(java.nio.file.Paths.get(out, "_manifest")).forEach { p =>
+      if (p.getFileName.toString.startsWith("batch-")) batchFiles += p
+    }
+    assert(batchFiles.size == 2)
+    // delete the newer manifest (the one whose bucket set includes bucket 10)
+    val victim = batchFiles.find { p =>
+      Files.readString(p).contains("\"bucket\": 10")
+    }.get
+    Files.delete(victim)
+    assert(Runner.completedBuckets(out).size == 10)
+
+    // retry recomputes the SAME todo set into the SAME batch dir, then all
+    // remaining buckets; read-back must hold exactly one row per bucket
+    Runner.run(spark, clips, suite, out)
+    assert(Runner.completedBuckets(out).size == 32)
+    val verdicts = Runner.verdicts(spark, out).collect()
+    assert(verdicts.length == 32)
+    assert(verdicts.map(_.getLong(0)).toSet.size == 32)
+    val oneShot = ClipQueries.verdicts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(verdicts.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet == oneShot)
+  }
 }
