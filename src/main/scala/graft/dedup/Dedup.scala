@@ -188,6 +188,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-duplicate CLUSTERS: connected components over the verified
+    * MinHash-LSH pair graph, keyed by the component's minimum doc_id — the
+    * step a dedup pipeline actually keeps ("one canonical doc per cluster").
+    * Iterative min-label propagation: each round every vertex takes the
+    * minimum label among itself and its neighbours; rounds are bounded by
+    * the component diameter (driver loop with a convergence count — the
+    * standard Spark iterative-CC shape; at 10^12-row scale the same loop
+    * gets the large-star/small-star contraction, which only changes the
+    * per-round join recipe, not the control flow). Deterministic, so the
+    * DuckDB oracle replays it as a recursive transitive closure. */
+  def minhashClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b").persist()
+    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val neigh = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nl"))
+      val updated = labels.join(neigh, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
+        .persist()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("doc_id"), col("new_label").as("label")).persist()
+      iter += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   // ---- SimHash ------------------------------------------------------------
 
   /** 64-bit SimHash over the token multiset. */

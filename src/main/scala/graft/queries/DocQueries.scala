@@ -21,11 +21,36 @@ object DocQueries {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_lsh_recall" -> ((s, d) => Ann.lshRecall(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
+    "dd_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
     "ta_tokens" -> ((s, d) => TextQueries.tokens(s, d)),
     "ta_quality" -> ((s, d) => TextQueries.quality(s, d)),
     "ta_langid" -> ((s, d) => TextQueries.langId(s, d)),
-    "ta_fingerprint" -> ((s, d) => TextQueries.fingerprints(s, d))
+    "ta_fingerprint" -> ((s, d) => TextQueries.fingerprints(s, d)),
+    "ta_bpe" -> ((s, d) => TextQueries.bpeTokens(s, d)),
+    "ta_filter" -> ((s, d) => TextQueries.qualityFilter(s, d))
   )
+
+  /** Shared CTE block: exact 3-word-shingle Jaccard pairs at J >= 0.7 —
+    * the ground truth both dd_minhash and dd_cluster build on. */
+  private val MinhashPairCtes: String =
+    """words AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
+      |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |),
+      |pairs AS (
+      |  SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jac
+      |  FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+      |)""".stripMargin
 
   val oracles: Map[String, String] = TextQueries.oracles ++ Map(
     "dd_exact" ->
@@ -65,22 +90,24 @@ object DocQueries {
     // sf0.1), so the oracle is the full true-Jaccard pair set computed from
     // 3-word shingles in plain SQL.
     "dd_minhash" ->
-      """WITH words AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
-        |  FROM words, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) t
-        |), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT id_a, id_b, round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7""".stripMargin,
+      s"""WITH $MinhashPairCtes
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs""".stripMargin,
+    // connected components over the same verified pair graph: the oracle
+    // replays the clustering as a recursive transitive closure and labels
+    // each doc with the minimum reachable doc_id
+    "dd_cluster" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach AS (
+         |  SELECT src AS doc_id, dst AS r FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+         |)
+         |SELECT doc_id, cast(least(doc_id, min(r)) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY doc_id""".stripMargin,
     // SimHash pigeonhole candidates are EXACT for hamming<=3 (4 blocks), so
     // the oracle recomputes the 64-bit fingerprints from scratch: FNV-1a per
     // word occurrence via a HUGEINT mod-2^64 fold, per-bit majority votes,

@@ -66,6 +66,39 @@ object TextQueries {
       col("doc_id"),
       TextFingerprint(spark, col("text")).as("fingerprint"))
 
+  /** BPE-style pre-tokenization count: alpha runs, digit runs, punctuation
+    * runs (the GPT-2-regex shape restricted to an RE2/Java-compatible
+    * subset so the oracle evaluates the identical pattern). */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  def bpeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
+  /** Corpus quality filter: the keep/drop decision a training-data pipeline
+    * applies from the quality signals — token count floor, stopword-ratio
+    * band, chars-per-token ceiling (boilerplate/code smell). Emitted as a
+    * verdict with per-signal booleans so drops are attributable. */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val stop = occ(concat(lit(" "), col("text"), lit(" ")), " the ") +
+      occ(concat(lit(" "), col("text"), lit(" ")), " a ")
+    val stopRatio = stop.cast("double") / nTok
+    val cpt = length(col("text")).cast("double") / nTok
+    val lenOk = nTok >= 20
+    val stopOk = stopRatio >= 0.01 && stopRatio <= 0.5
+    val cptOk = cpt <= 12.0
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      lenOk.as("len_ok"),
+      stopOk.as("stop_ok"),
+      cptOk.as("cpt_ok"),
+      (lenOk && stopOk && cptOk).as("keep"))
+  }
+
   private val D = "documents"
 
   val oracles: Map[String, String] = Map(
@@ -82,6 +115,26 @@ object TextQueries {
          |      [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
          |    (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
          |  FROM $D)""".stripMargin,
+    "ta_bpe" ->
+      s"""SELECT doc_id,
+         |  cast(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens
+         |FROM $D""".stripMargin,
+    "ta_filter" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |    ((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) / 5
+         |      + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) / 3
+         |    ) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio,
+         |    length(text) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')) AS cpt
+         |  FROM $D
+         |)
+         |SELECT doc_id,
+         |  n_tok >= 20 AS len_ok,
+         |  stop_ratio >= 0.01 AND stop_ratio <= 0.5 AS stop_ok,
+         |  cpt <= 12.0 AS cpt_ok,
+         |  (n_tok >= 20) AND (stop_ratio >= 0.01 AND stop_ratio <= 0.5) AND (cpt <= 12.0) AS keep
+         |FROM q""".stripMargin,
     "ta_tokens" ->
       s"""SELECT doc_id,
          |  cast(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,

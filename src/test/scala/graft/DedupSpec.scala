@@ -66,6 +66,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("minhash clusters are consistent connected components of the pair graph") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.minhashClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc in a pair is labelled; endpoints of an edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(labels.contains(a) && labels.contains(b))
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    // the label is the component minimum (canonical doc)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+
   test("lshTopK multi-probe recall@5 vs bruteTopK is >= 0.9 mean, >= 0.8 per query") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
