@@ -27,25 +27,59 @@ object TableFormat {
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
-  /** Append a new snapshot of `df` partitioned by `partitionCol`. Returns
+  /** Full-replace snapshot of `df` partitioned by `partitionCol`. Returns
     * the committed snapshot version. */
-  def commit(df: DataFrame, table: String, partitionCol: String): Int = {
-    val version = currentVersion(table).getOrElse(0) + 1
-    val dataPath = s"$table/data/v$version"
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(dataPath)
+  def commit(df: DataFrame, table: String, partitionCol: String): Int =
+    writeSnapshot(df, table, partitionCol, carryForward = false)
+
+  /** Append snapshot: the new version's manifest references every data dir
+    * of the previous snapshot PLUS this batch's fresh dir — the
+    * Iceberg-append shape (a snapshot is a manifest of files; appends never
+    * rewrite existing data). Readers of version v see all rows committed
+    * through v; time travel to an older version sees fewer. */
+  def append(df: DataFrame, table: String, partitionCol: String): Int =
+    writeSnapshot(df, table, partitionCol, carryForward = true)
+
+  private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
+      carryForward: Boolean): Int = {
+    val prev = currentVersion(table)
+    val prevDirs =
+      if (carryForward) prev.map(v => dataDirs(table, v)).getOrElse(Seq.empty)
+      else Seq.empty
+    val version = prev.getOrElse(0) + 1
+    val dataPath = s"data/v$version"
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
 
     val counts = df.groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => s"""{"${partitionCol}": ${r.get(0)}, "rows": ${r.getLong(1)}}""")
     Files.createDirectories(metaDir(table))
+    val allDirs = (prevDirs :+ dataPath).map(d => s""""$d"""").mkString(", ")
     val snap =
-      s"""{"version": $version, "data": "data/v$version", "partition_col": "$partitionCol",
-         | "partitions": [${counts.mkString(", ")}]}""".stripMargin
+      s"""{"version": $version, "data_dirs": [$allDirs], "partition_col": "$partitionCol",
+         | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
     val tmp = metaDir(table).resolve(".version-hint.tmp")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, metaDir(table).resolve("version-hint.txt"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     version
+  }
+
+  /** Data dirs referenced by a snapshot's manifest (parsed with the
+    * engine's own strict JSON parser — dogfooding graft.repair.PyJson). */
+  def dataDirs(table: String, version: Int): Seq[String] = {
+    val snapFile = metaDir(table).resolve(s"snap-$version.json")
+    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+      case Some(graft.repair.JObj(f)) => f.get("data_dirs") match {
+        case Some(graft.repair.JArr(xs)) =>
+          xs.toSeq.collect { case graft.repair.JStr(s) => s }
+        case _ => f.get("data") match { // legacy single-dir snapshot
+          case Some(graft.repair.JStr(d)) => Seq(d)
+          case _ => Seq.empty
+        }
+      }
+      case _ => Seq.empty
+    }
   }
 
   def currentVersion(table: String): Option[Int] = {
@@ -63,11 +97,17 @@ object TableFormat {
       .toSeq.sorted
   }
 
-  /** Read a snapshot (latest by default). Filters on the partition column
-    * prune at the directory level (Spark partition discovery). */
+  /** Read a snapshot (latest by default) — the union of every data dir in
+    * its manifest. Filters on the partition column prune at the directory
+    * level (Spark partition discovery). */
   def read(spark: SparkSession, table: String, version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(table)).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $table"))
-    spark.read.parquet(s"$table/data/v$v")
+    val dirs = dataDirs(table, v)
+    if (dirs.isEmpty) throw new IllegalStateException(s"snapshot $v at $table lists no data")
+    // one partition-discovered read per manifest dir, unioned — each branch
+    // keeps its own PartitionFilters pruning (a single multi-root read
+    // trips Spark's conflicting-directory-structures check)
+    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
   }
 }

@@ -35,24 +35,39 @@ object Runner {
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
-  private val BucketRe = """"bucket"\s*:\s*(\d+)""".r
-
-  /** Buckets already completed according to the manifest: one atomic JSON
-    * per BATCH (all of its buckets committed together), so a crash anywhere
-    * before the single rename leaves NO bucket of that batch manifested and
-    * the retry recomputes the identical todo set into the identical
-    * batch-keyed output dirs (idempotent overwrite — no duplicate rows on
-    * read-back, which a per-bucket manifest loop could not guarantee). */
-  def completedBuckets(outDir: String): Set[Long] = {
+  /** Per-bucket results recorded across all committed batch manifests:
+    * one atomic JSON per BATCH (all of its buckets committed together), so
+    * a crash anywhere before the single rename leaves NO bucket of that
+    * batch manifested and the retry recomputes it idempotently into the
+    * per-bucket output dirs. Parsed with the engine's own strict parser. */
+  def manifestResults(outDir: String): Map[Long, BucketResult] = {
+    import graft.repair.{JArr, JBool, JInt, JObj}
     val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
-      .flatMap(n => BucketRe.findAllMatchIn(
-        Files.readString(dir.resolve(n))).map(_.group(1).toLong))
-      .toSet
+      .flatMap { n =>
+        graft.repair.PyJson.loads(Files.readString(dir.resolve(n))) match {
+          case Some(JObj(f)) => f.get("buckets") match {
+            case Some(JArr(bs)) => bs.toSeq.collect {
+              case JObj(b) => (b.get("bucket"), b.get("n_rows"), b.get("n_bad"), b.get("pass")) match {
+                case (Some(JInt(bk)), Some(JInt(nr)), Some(JInt(nb)), Some(JBool(p))) =>
+                  Some(BucketResult(bk.toLong, nr.toLong, nb.toLong, p))
+                case _ => None
+              }
+            }.flatten
+            case _ => Seq.empty
+          }
+          case _ => Seq.empty
+        }
+      }
+      .map(r => r.bucket -> r).toMap
   }
+
+  /** Buckets already completed according to the manifest. */
+  def completedBuckets(outDir: String): Set[Long] =
+    manifestResults(outDir).keySet
 
   /** Run the suite over `df` (must carry the suite's bucket column),
     * completing at most `maxBuckets` of the remaining buckets (used by
@@ -63,9 +78,15 @@ object Runner {
       suite: CheckSuite,
       outDir: String,
       totalBuckets: Int = 32,
-      maxBuckets: Int = Int.MaxValue): RunSummary = {
+      maxBuckets: Int = Int.MaxValue,
+      snapshotTable: Option[String] = None): RunSummary = {
     val t0 = System.nanoTime()
     Files.createDirectories(manifestDir(outDir))
+    // snapshot table may trail the manifest by one batch after a crash
+    // between the manifest rename and the snapshot append — re-sync first
+    // (the manifest is the source of truth; appends are idempotent per
+    // bucket because we only append buckets absent from the snapshot)
+    snapshotTable.foreach(t => syncSnapshot(spark, outDir, t))
     val done = completedBuckets(outDir)
     val todo = (0L until totalBuckets.toLong).filterNot(done).take(maxBuckets)
     if (todo.isEmpty) return RunSummary(Nil, done.toSeq.sorted)
@@ -109,7 +130,33 @@ object Runner {
     Files.writeString(tmp, json)
     Files.move(tmp, manifestDir(outDir).resolve(s"batch-$batchId.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // Iceberg-shaped lineage: append this batch's verdicts as a new table
+    // snapshot (manifest-of-files append — time travel per batch)
+    snapshotTable.foreach(t => syncSnapshot(spark, outDir, t))
     RunSummary(results.toSeq.sortBy(_.bucket), done.toSeq.sorted)
+  }
+
+  /** Bring the verdict snapshot table up to date with the manifest: append
+    * one snapshot holding every manifested bucket the table doesn't have
+    * yet (no-op when in sync). Crash-safe in both directions — the
+    * manifest leads, and appends are keyed on the missing-bucket set. */
+  def syncSnapshot(spark: SparkSession, outDir: String, table: String): Unit = {
+    import spark.implicits._
+    val manifested = manifestResults(outDir)
+    if (manifested.isEmpty) return
+    val inSnapshot: Set[Long] =
+      if (graft.io.TableFormat.currentVersion(table).isEmpty) Set.empty
+      else graft.io.TableFormat.read(spark, table)
+        .select(col("bucket").cast("long")) // partition col is discovered as int
+        .distinct().collect().map(_.getLong(0)).toSet
+    val missing = manifested.keySet.diff(inSnapshot).toSeq.sorted
+    if (missing.nonEmpty) {
+      val batchDf = missing.map { b =>
+        val r = manifested(b)
+        (r.bucket, r.nRows, r.nBad, r.pass)
+      }.toDF("bucket", "n_rows", "n_bad", "pass")
+      graft.io.TableFormat.append(batchDf, table, "bucket")
+    }
   }
 
   /** All verdicts accumulated across batches (for reading back results).

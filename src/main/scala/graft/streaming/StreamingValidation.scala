@@ -53,6 +53,33 @@ object StreamingValidation {
       JsonRepairFunctions.jsonRepair(spark, malformed).as("repaired"))
   }
 
+  /** Streaming last-write-wins dedup — the reference's "repeated same-shape
+    * top-level object = update, keep newest" (P2, json_parser.py:131-133)
+    * as CUSTOM STREAMING STATE: one state cell per key holding the highest
+    * version seen, updated via `flatMapGroupsWithState` so each micro-batch
+    * emits only keys whose newest version changed. This is the
+    * KeyValueGroupedDataset custom-state primitive the windowed aggregates
+    * can't express (state is an arbitrary value, not a fold of a column). */
+  def lwwDedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    source(spark, sfDir)
+      .select(col("user_id"), col("event_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val newest = rows.map(_._2).max
+          val prev = state.getOption.getOrElse(Long.MinValue)
+          if (newest > prev) {
+            state.update(newest)
+            Iterator((key, newest))
+          } else Iterator.empty
+      }
+      .toDF("user_id", "kept_event_id")
+  }
+
   /** Watermarked 1-hour windowed verdicts per event_type: rows observed,
     * invalid payloads, repaired-to-canonical count. Late events beyond the
     * 2-hour watermark are dropped from the aggregation state. */

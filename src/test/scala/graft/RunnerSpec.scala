@@ -55,6 +55,35 @@ class RunnerSpec extends AnyFunSuite {
     assert(vResumed.toSeq == vOneShot.toSeq)
   }
 
+  test("verdict snapshots track the manifest, incl. backfill after a trailing crash") {
+    val out = Files.createTempDirectory("graft-runner-snap").toString
+    val table = Files.createTempDirectory("graft-verdict-table").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    val suite = ClipQueries.suite(spark, sfDir)
+
+    // batch 1 runs WITHOUT the snapshot binding — simulates a crash after
+    // the manifest rename but before the snapshot append
+    Runner.run(spark, clips, suite, out, maxBuckets = 10)
+    // batch 2 runs with it: syncSnapshot must first backfill batch 1
+    Runner.run(spark, clips, suite, out, snapshotTable = Some(table))
+
+    import graft.io.TableFormat
+    val snap = TableFormat.read(spark, table)
+      .collect().map(r => (r.getAs[Number]("bucket").longValue(),
+        r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(snap.length == 32)
+    assert(snap.map(_._1).toSet == (0L until 32L).toSet)
+    val oneShot = ClipQueries.verdicts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(snap.map(t => (t._1, t._2, t._3, t._4)).toSet == oneShot)
+    // time travel: the backfill snapshot holds only batch-1 buckets
+    assert(TableFormat.read(spark, table, Some(1)).count() == 10)
+    // re-run is a no-op: no new snapshot
+    val vBefore = TableFormat.currentVersion(table)
+    Runner.run(spark, clips, suite, out, snapshotTable = Some(table))
+    assert(TableFormat.currentVersion(table) == vBefore)
+  }
+
   test("crash before the batch manifest commit -> retry is idempotent (no duplicate rows)") {
     val out = Files.createTempDirectory("graft-runner-crash").toString
     val clips = ClipsTable.base(spark, sfDir)

@@ -51,4 +51,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.subsetOf(batch),
       s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
   }
+
+  test("stateful LWW dedup stream converges to the batch max per key") {
+    val q = StreamingValidation.lwwDedupStream(spark, sfDir)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("stream_lww")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // update mode may emit a key several times; the LAST emission per key
+    // must equal the batch max(event_id) per user_id
+    val emitted = spark.table("stream_lww").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(emitted.nonEmpty)
+    val last = emitted.zipWithIndex
+      .groupBy(_._1._1).map { case (k, vs) => k -> vs.maxBy(_._2)._1._2 }
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(max("event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(last == batch,
+      s"diff: ${last.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(last.toSet).take(3)}")
+  }
 }

@@ -42,4 +42,26 @@ class TableFormatSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(500))
     assert(pruned.count() == clips.filter(col("bucket") === 3).count())
   }
+
+  test("append snapshots accumulate data; time travel sees per-batch states") {
+    val table = Files.createTempDirectory("graft-append").toString
+    val clips = ClipsTable.base(spark, sfDir)
+
+    val v1 = TableFormat.append(clips.filter(col("ord") < 500), table, "bucket")
+    val v2 = TableFormat.append(
+      clips.filter(col("ord") >= 500 && col("ord") < 1000), table, "bucket")
+    val v3 = TableFormat.append(clips.filter(col("ord") >= 1000), table, "bucket")
+    assert((v1, v2, v3) == ((1, 2, 3)))
+
+    val total = clips.count()
+    assert(TableFormat.read(spark, table).count() == total)
+    assert(TableFormat.read(spark, table, Some(1)).count() ==
+      clips.filter(col("ord") < 500).count())
+    assert(TableFormat.read(spark, table, Some(2)).count() ==
+      clips.filter(col("ord") < 1000).count())
+    // appends never rewrite: v1's manifest references exactly one dir,
+    // v3's references three
+    assert(TableFormat.dataDirs(table, 1).size == 1)
+    assert(TableFormat.dataDirs(table, 3).size == 3)
+  }
 }
