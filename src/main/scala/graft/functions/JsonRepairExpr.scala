@@ -2,34 +2,64 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.repair.{JsonRepair, PyJson}
 
+/** Static (Java-callable) kernels for the generated code paths below —
+  * whole-stage codegen emits a plain static call, so the repair expressions
+  * fuse into the surrounding generated stage instead of forcing a
+  * CodegenFallback boundary around every row. */
+object JsonRepairKernels {
+  def repair(s: UTF8String): UTF8String =
+    UTF8String.fromString(JsonRepair.repair(s.toString))
+  def strictValid(s: UTF8String): Boolean =
+    PyJson.loads(s.toString).isDefined
+  def repairActions(s: UTF8String): Int =
+    JsonRepair.repairWithLog(s.toString)._2.length
+}
+
 /** `json_repair(s)` as a native Catalyst expression: per-row repair of
   * malformed JSON (fast strict-parse path first — the reference's
   * json.loads fast path — then the full repair state machine). Null-safe;
-  * evaluated inside the generated plan with no (de)serialization beyond
-  * UTF8String <-> String. */
-case class JsonRepairExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * codegen emits a static kernel call inside the generated stage (no
+  * (de)serialization beyond UTF8String <-> String, no fallback boundary). */
+case class JsonRepairExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(JsonRepair.repair(input.asInstanceOf[UTF8String].toString))
+    JsonRepairKernels.repair(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JsonRepairKernels$$.MODULE$$.repair($c)")
   override protected def withNewChildInternal(newChild: Expression): JsonRepairExpr =
     copy(child = newChild)
 }
 
 /** `json_strict_valid(s)`: true iff the string parses under the strict
   * (CPython json.loads) grammar — the validator fast-path predicate. */
-case class JsonStrictValidExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class JsonStrictValidExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullSafeEval(input: Any): Any =
-    java.lang.Boolean.valueOf(PyJson.loads(input.asInstanceOf[UTF8String].toString).isDefined)
+    java.lang.Boolean.valueOf(JsonRepairKernels.strictValid(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JsonRepairKernels$$.MODULE$$.strictValid($c)")
   override protected def withNewChildInternal(newChild: Expression): JsonStrictValidExpr =
+    copy(child = newChild)
+}
+
+/** `json_repair_actions(s)`: number of repair actions the logging repair
+  * pass records for the row (reference M1 `logging=True` at dataset level). */
+case class JsonRepairActionsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Integer.valueOf(JsonRepairKernels.repairActions(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.JsonRepairKernels$$.MODULE$$.repairActions($c)")
+  override protected def withNewChildInternal(newChild: Expression): JsonRepairActionsExpr =
     copy(child = newChild)
 }
 
@@ -37,9 +67,12 @@ case class JsonStrictValidExpr(child: Expression)
   * `loads(s, schema=...)` typed layer): parse/repair then coerce + validate
   * against the JSON Schema supplied at plan time (compiled once on the
   * driver, reference validator-cache analogue). Rows that cannot satisfy
-  * the schema yield null (the per-row reject verdict). */
+  * the schema yield null (the per-row reject verdict). Keeps eval-mode
+  * execution (the schema object lives on the expression instance), but the
+  * hot jr_* path is the three kernels above. */
 case class JsonSchemaRepairExpr(child: Expression, schemaJson: String, salvage: Boolean)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   @transient private lazy val schema: graft.repair.JsonValue =
     PyJson.loads(schemaJson).getOrElse(
       throw new IllegalArgumentException("invalid schema json"))
@@ -51,20 +84,6 @@ case class JsonSchemaRepairExpr(child: Expression, schemaJson: String, salvage: 
       graft.repair.SchemaRepair.loads(input.asInstanceOf[UTF8String].toString, schema, mode)))
     catch { case _: graft.repair.SchemaRepair.RepairError => null }
   override protected def withNewChildInternal(newChild: Expression): JsonSchemaRepairExpr =
-    copy(child = newChild)
-}
-
-/** `json_repair_actions(s)`: number of repair actions the logging repair
-  * pass records for the row (reference M1 `logging=True` at dataset level)
-  * — a native expression like its siblings so the whole jr_* family stays
-  * on one plan shape (no Scala UDF serialization in the hot path). */
-case class JsonRepairActionsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
-  override def nullSafeEval(input: Any): Any =
-    java.lang.Integer.valueOf(
-      JsonRepair.repairWithLog(input.asInstanceOf[UTF8String].toString)._2.length)
-  override protected def withNewChildInternal(newChild: Expression): JsonRepairActionsExpr =
     copy(child = newChild)
 }
 

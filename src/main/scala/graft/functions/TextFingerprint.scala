@@ -2,32 +2,28 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Rolling polynomial document fingerprint as a native Catalyst Expression:
   * fp(s) = sum_i s[i] * 31^i  (mod 2^64, signed long wraparound).
   * Deterministic, arithmetic-only (reproducible across engines that
-  * implement the same recurrence), null-safe, evaluated per-row inside the
-  * generated plan — the pattern the string-repair expression will follow.
-  */
-case class TextFingerprintExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * implement the same recurrence — the DuckDB oracle replays it as a
+  * HUGEINT fold), null-safe, and codegen'd: whole-stage codegen emits a
+  * static kernel call so the fingerprint fuses into the generated stage
+  * with no fallback boundary. */
+case class TextFingerprintExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var h = 0L
-    var pow = 1L
-    var i = 0
-    while (i < s.length) {
-      h += s.charAt(i).toLong * pow
-      pow *= 31L
-      i += 1
-    }
-    java.lang.Long.valueOf(h)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      TextFingerprint.fingerprintUTF8(input.asInstanceOf[UTF8String]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextFingerprint$$.MODULE$$.fingerprintUTF8($c)")
   override protected def withNewChildInternal(newChild: Expression): TextFingerprintExpr =
     copy(child = newChild)
 }
@@ -39,6 +35,9 @@ object TextFingerprint {
     while (i < s.length) { h += s.charAt(i).toLong * pow; pow *= 31L; i += 1 }
     h
   }
+
+  /** Codegen kernel: same recurrence straight off the UTF8String. */
+  def fingerprintUTF8(s: UTF8String): Long = fingerprint(s.toString)
 
   /** Register `text_fingerprint` in the session's function registry and
     * return a Column invoking it. */
