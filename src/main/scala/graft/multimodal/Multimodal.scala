@@ -123,6 +123,28 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling for video payloads: decode every `stride`-th frame's
+    * luma plane and emit one row per sampled frame — the mapInPandas-shaped
+    * exploding transform (decoder amortised per partition, rows streamed).
+    * The per-frame decode is the STUB codec (no video libs in-sandbox): a
+    * deterministic fake with frame count derived from the payload length,
+    * per-frame planes seeded by (payload hash, frame index); the Spark
+    * plumbing — schema, batch shape, explode — is real. */
+  final case class FrameSample(
+      media_id: Long, frame_idx: Int, width: Int, height: Int, mean_intensity: Double)
+
+  def sampleFrames(media: Dataset[MediaFile], stride: Int = 10): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.mime.startsWith("video/")).flatMap { m =>
+      val (w, h) = FakeImageCodec.dimensions(m.bytes)
+      val nFrames = 1 + (m.bytes.length % 240) // STUB: header-declared length
+      (0 until nFrames by stride).map { f =>
+        val px = FakeImageCodec.decodeLuma(m.bytes :+ f.toByte, w, h)
+        FrameSample(m.media_id, f, w, h, px.sum.toDouble / px.length / 255.0)
+      }
+    }
+  }
+
   /** Batch feature extraction over a media table — one pass, partition-
     * parallel, decoder state amortised per partition (the mapInPandas batch
     * shape). Audio (`audio/wav`) is decoded for real; image/video payloads

@@ -44,6 +44,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.forall(f => again(f.media_id) == f.mean_intensity))
   }
 
+  test("video frame sampling emits every stride-th frame deterministically") {
+    val videos = Multimodal.demoTable(spark, sfDir).filter(_.mime == "video/mp4")
+    val frames = Multimodal.sampleFrames(videos, stride = 10).collect()
+    assert(frames.nonEmpty)
+    // stride honored and per-media frame indices distinct
+    assert(frames.forall(_.frame_idx % 10 == 0))
+    frames.groupBy(_.media_id).foreach { case (_, fs) =>
+      assert(fs.map(_.frame_idx).distinct.length == fs.length)
+    }
+    assert(frames.forall(f => f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0))
+    val again = Multimodal.sampleFrames(videos, stride = 10).collect()
+      .map(f => (f.media_id, f.frame_idx) -> f.mean_intensity).toMap
+    assert(frames.forall(f => again((f.media_id, f.frame_idx)) == f.mean_intensity))
+  }
+
   test("real PNG round-trip: encode then decode recovers pixels exactly") {
     val w = 20; val h = 11
     val luma = Array.tabulate(w * h)(p => (p * 13) % 256)
