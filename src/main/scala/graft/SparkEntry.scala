@@ -19,6 +19,10 @@ object SparkEntry {
     ClipQueries.verdicts(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the headline benchmark pipeline itself (metadata + audio invariants
+    // fused into one pass), driver-oracled at replicate=1
+    "vc_full_verdicts" -> ((s: SparkSession, d: String) =>
+      graft.run.ValidationPipeline.verdicts(s, d)),
     "vc_violations" -> ((s, d) => ClipQueries.violations(s, d)),
     "vc_verdicts" -> ((s, d) => ClipQueries.verdicts(s, d)),
     "vc_stats" -> ((s, d) => ClipQueries.stats(s, d)),

@@ -209,6 +209,24 @@ object ClipQueries {
          |UNION ALL SELECT clip_id, 'enum_codec', 'codec', codec FROM clips WHERE codec NOT IN ('pcm_s16le','flac','opus','mp3')
          |UNION ALL SELECT clip_id, 'unique_clip_id', 'clip_id', cast(cnt AS VARCHAR) FROM (SELECT clip_id, count(*) AS cnt FROM clips GROUP BY clip_id HAVING count(*) > 1) d
          |UNION ALL SELECT c.clip_id, 'ref_clip_id_refs', 'clip_id', 'missing_ref' FROM clips c WHERE NOT EXISTS (SELECT 1 FROM refs r WHERE r.clip_id = c.clip_id)""".stripMargin,
+    // the full fused pipeline: metadata checks + the two audio invariants
+    // (SNR < 30dB at ord%149, byte/dur mismatch at ord%157) + global
+    // uniqueness + referential presence, aggregated per bucket
+    "vc_full_verdicts" ->
+      s"""$C, flagged AS (
+         |  SELECT c.bucket,
+         |    (c.transcript IS NULL) OR (c.transcript = '')
+         |    OR (c.sr_hz < 8000 OR c.sr_hz > 48000)
+         |    OR (c.codec NOT IN ('pcm_s16le','flac','opus','mp3'))
+         |    OR (c.ord % 149 = 0) OR (c.ord % 157 = 0)
+         |    OR (count(*) OVER (PARTITION BY c.clip_id) > 1)
+         |    OR (r.clip_id IS NULL) AS bad
+         |  FROM clips c LEFT JOIN refs r ON c.clip_id = r.clip_id
+         |)
+         |SELECT bucket, count(*) AS n_rows,
+         |  count(CASE WHEN bad THEN 1 END) AS n_bad,
+         |  count(CASE WHEN bad THEN 1 END) = 0 AS pass
+         |FROM flagged GROUP BY bucket""".stripMargin,
     "vc_verdicts" ->
       s"""$C, flagged AS (
          |  SELECT c.bucket,
