@@ -99,6 +99,49 @@ object ValidationPipeline {
       .select("bucket", "n_rows", "n_bad", "pass")
   }
 
+  /** Clips augmented with the per-row audio measurements (snr_db,
+    * n_samples) from the same fused allocation-free pass — the bridge that
+    * lets the DECLARATIVE Check DSL (and therefore the Runner's
+    * checkpointed execution) express the audio invariants as ordinary
+    * RowExpr checks over narrow numeric columns. */
+  def augmented(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+    import spark.implicits._
+    replicatedBase(spark, sfDir, replicate)
+      .as[ClipMeta]
+      .mapPartitions { it =>
+        var buf = new Array[Byte](64 * 1024)
+        it.map { m =>
+          val seed = AudioQueries.seedOf(m.clip_id)
+          val snrDb = if (m.ord % 149 == 0) Wav.CorruptSnrDb else Wav.CleanSnrDb
+          val extra = if (m.ord % 157 == 0) 7 else 0
+          val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
+          if (need > buf.length) buf = new Array[Byte](need)
+          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
+          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          (m.clip_id, m.sr_hz, m.dur_ms, m.codec, m.transcript, m.ord, m.bucket, snr, n)
+        }
+      }
+      .toDF("clip_id", "sr_hz", "dur_ms", "codec", "transcript", "ord", "bucket",
+        "snr_db", "n_samples")
+  }
+
+  /** The complete declarative suite over [[augmented]]: the metadata checks
+    * plus the two audio invariants as RowExpr checks. Equivalence with the
+    * fused [[verdicts]] plan is asserted in EngineSpec. */
+  def fullSuite(spark: SparkSession, sfDir: String): graft.dsl.CheckSuite = {
+    import graft.dsl._
+    import Check.colResolver
+    val base = graft.queries.ClipQueries.suite(spark, sfDir)
+    base.copy(checks = base.checks ++ Seq(
+      RowExpr("audio_snr_min", "snr_db",
+        col("snr_db").isNaN || col("snr_db") < lit(AudioQueries.SnrThresholdDb),
+        org.apache.spark.sql.functions.round(col("snr_db"), 1).cast("string")),
+      RowExpr("audio_dur_consistency", "n_samples",
+        col("n_samples") =!= org.apache.spark.sql.functions
+          .expr("CAST(sr_hz AS BIGINT) * dur_ms DIV 1000"),
+        col("n_samples").cast("string"))))
+  }
+
   /** Runs the pipeline to completion; returns (nClips, nBadRows, seconds). */
   def timed(spark: SparkSession, sfDir: String, replicate: Int = 1): (Long, Long, Double) = {
     val t0 = System.nanoTime()

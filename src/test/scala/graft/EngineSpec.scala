@@ -88,6 +88,38 @@ class EngineSpec extends AnyFunSuite {
     assert(fused == generic)
   }
 
+  test("declarative full suite over augmented clips equals the fused pipeline") {
+    val fused = graft.run.ValidationPipeline.verdicts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val aug = graft.run.ValidationPipeline.augmented(spark, sfDir)
+    val suite = graft.run.ValidationPipeline.fullSuite(spark, sfDir)
+    val declarative = graft.compile.CheckCompiler.verdicts(aug, suite)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(fused == declarative)
+    // the violation table attributes the audio failures to their checks
+    val v = graft.compile.CheckCompiler.violations(aug, suite)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val snrRows = v.filter(_._2 == "audio_snr_min").map(_._1).toSet
+    val durRows = v.filter(_._2 == "audio_dur_consistency").map(_._1).toSet
+    val clips = graft.clips.ClipsTable.base(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(5))
+    assert(snrRows == clips.filter(_._2 % 149 == 0).map(_._1).toSet)
+    assert(durRows == clips.filter(_._2 % 157 == 0).map(_._1).toSet)
+  }
+
+  test("Runner executes the full audio suite with checkpoint resume") {
+    val out = java.nio.file.Files.createTempDirectory("graft-runner-audio").toString
+    val aug = graft.run.ValidationPipeline.augmented(spark, sfDir)
+    val suite = graft.run.ValidationPipeline.fullSuite(spark, sfDir)
+    graft.run.Runner.run(spark, aug, suite, out, maxBuckets = 16)
+    graft.run.Runner.run(spark, aug, suite, out)
+    val resumed = graft.run.Runner.verdicts(spark, out)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val oneShot = graft.run.ValidationPipeline.verdicts(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(resumed == oneShot)
+  }
+
   test("salted codec counts equal the naive aggregation") {
     val salted = ClipQueries.codecCounts(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
