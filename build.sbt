@@ -12,6 +12,10 @@ libraryDependencies ++= Seq(
 Test / fork := true
 run / fork := true
 run / connectInput := true // let graft.Cli read stdin
+// forked stdout passes through unprefixed (no "[info] ") so the driver can
+// machine-parse graft.Bench's single JSON line (round-1 BENCH_r01.json had
+// "parsed": null because of the sbt logger prefix)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

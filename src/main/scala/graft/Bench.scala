@@ -76,7 +76,7 @@ object Bench {
     val nLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "6").toInt
     val nHi = 4 * nLo
     val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "6").toInt
-    val pairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "2").toInt
     val samples = Seq.fill(pairs)(Seq(nLo, nHi)).flatten.map { c =>
       spark = newSession(c)
       val r = ValidationPipeline.timed(spark, sfDir, repl)
