@@ -73,6 +73,43 @@ class FileSourceSpec extends AnyFunSuite {
     assert(PyJson.dumps(viaFile) == PyJson.dumps(expected))
   }
 
+  test("chunked file path is differentially equal to the string path on the whole repair corpus") {
+    import graft.repair.{JArr, JBool, JObj, JStr}
+    val raw = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      getClass.getResource("/repair_corpus.json").toURI)), StandardCharsets.UTF_8)
+    val cases = PyJson.loads(raw) match {
+      case Some(JArr(items)) => items.toSeq.collect {
+        case JObj(f) => (f("input").asInstanceOf[JStr].value,
+          f("skip_json_loads") == JBool(true))
+      }
+      case _ => fail("cannot parse corpus")
+    }
+    var n = 0
+    cases.foreach { case (input, skip) =>
+      val p = tmp(input)
+      val viaString =
+        try PyJson.dumps(JsonRepair.repairToValue(input, skipJsonLoads = skip))
+        catch { case e: Throwable => s"<ex ${e.getClass.getSimpleName}>" }
+      // chunk of 3 chars exercises every boundary inside every payload
+      val viaFile =
+        try PyJson.dumps(JsonRepair.fromFile(p.toString, skipJsonLoads = skip, chunkLength = 3))
+        catch { case e: Throwable => s"<ex ${e.getClass.getSimpleName}>" }
+      assert(viaFile == viaString, s"divergence on ${input.take(60)}")
+      n += 1
+      Files.deleteIfExists(p)
+    }
+    info(s"chunked-vs-string differential: $n/$n cases equal")
+  }
+
+  test("load from a multibyte prefix: byte offset cookies stay code-point safe") {
+    val prefix = "{\"stalé\": \"ü𝄞ö\"}\n" // multibyte chars BEFORE the offset
+    val suffix = "{'kéy': }"
+    val p = tmp(prefix + suffix)
+    val off = prefix.getBytes(StandardCharsets.UTF_8).length
+    val v = JsonRepair.loadFrom(p.toString, off, chunkLength = 2)
+    assert(PyJson.dumps(v) == "{\"k\\u00e9y\": \"\"}")
+  }
+
   test("fromFile default chunk length handles valid json via fast path") {
     val p = tmp("""{"a": 1, "b": [true, null]}""")
     val v = JsonRepair.fromFile(p.toString)
