@@ -217,7 +217,11 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
         .persist()
       changed = updated.filter(col("new_label") < col("label")).count()
+      val prev = labels
       labels = updated.select(col("doc_id"), col("new_label").as("label")).persist()
+      labels.count() // materialize before releasing the superseded round
+      prev.unpersist()
+      updated.unpersist()
       iter += 1
     }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
