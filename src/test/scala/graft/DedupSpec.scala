@@ -100,6 +100,23 @@ class DedupSpec extends AnyFunSuite {
     assert(gate.length == 16 && gate.forall(_.getBoolean(1)))
   }
 
+  test("k-means codebook IVF: deterministic training, recall at least matches the fixed codebook") {
+    val brute = Ann.bruteTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val cb1 = Ann.kmeansCentroids(spark, sfDir, k = 16, iters = 3)
+    val cb2 = Ann.kmeansCentroids(spark, sfDir, k = 16, iters = 3)
+    assert(cb1.map(_._1).sameElements(cb2.map(_._1)))
+    cb1.zip(cb2).foreach { case ((_, a), (_, b)) => assert(a.sameElements(b)) }
+    val fixed = Ann.ivfTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val trained = Ann.ivfTopK(spark, sfDir, codebook = cb1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rFixed = brute.intersect(fixed).size.toDouble / brute.size
+    val rTrained = brute.intersect(trained).size.toDouble / brute.size
+    info(f"ivf recall: fixed=$rFixed%.3f kmeans=$rTrained%.3f")
+    assert(rTrained >= rFixed - 0.05, s"trained $rTrained much worse than fixed $rFixed")
+  }
+
   test("ivfTopK recall: probing 1/4 of cells recovers most true neighbors") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
