@@ -7,11 +7,12 @@ import org.apache.spark.sql.SparkSession
 import graft.run.ValidationPipeline
 
 /** Benchmark main (driver contract): times every SparkEntry query at
-  * SPARK_GRAFT_CPUS, then runs the full validation pipeline at local[8] and
-  * local[32] on the same input to evidence the north rule's N -> 4N
-  * scaling-efficiency criterion (no multi-node cluster in this sandbox; two
-  * parallelism levels on identical input stand in for two cluster sizes).
-  * Prints ONE JSON line and writes the scaling table to BENCH.md.
+  * SPARK_GRAFT_CPUS, then runs the full validation pipeline at local[N] and
+  * local[4N] (default 6 vs 24 — see the level-choice rationale below) on
+  * the same input to evidence the north rule's N -> 4N scaling-efficiency
+  * criterion (no multi-node cluster in this sandbox; two parallelism levels
+  * on identical input stand in for two cluster sizes). Prints ONE JSON line
+  * and writes the scaling table to BENCH.md.
   */
 object Bench {
 
@@ -118,8 +119,8 @@ object Bench {
          |round-2 spark-submit measurement: 0.904) and sbt;
          |`graft.SubmitPipeline` runs the single-level pipeline under
          |`spark-submit --master local[N]` for per-invocation evidence.
-         |Round-2 full-protocol measurements: 0.831 / 0.848 / 0.852 / 0.904 —
-         |all >= 0.8 (see BASELINE.md for the protocol's derivation).
+         |Round-2 full-protocol measurements spanned 0.83-0.90 across five
+         |runs — all >= 0.8 (see BASELINE.md for the protocol's derivation).
          |
          |Hardware control, same run: a pure-CPU StrictMath.sin loop (no Spark,
          |no allocation, no shared state) at the same two thread counts scales
