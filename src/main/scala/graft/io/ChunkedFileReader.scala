@@ -53,7 +53,10 @@ final class ChunkedFileReader(path: Path, chunkLength0: Int = 0, startOffset: Lo
         cache.remove(index); cache.put(index, s); return s
       case None =>
     }
-    if (index >= cookies.length) loadChunk(index - 1) // fills cookie(index)
+    // fill cookies up to `index` iteratively (a far-forward random access
+    // must not recurse once per missing chunk)
+    while (index >= cookies.length && totalLength < 0)
+      loadChunk(cookies.length - 1)
     if (index >= cookies.length)
       throw new IndexOutOfBoundsException(s"chunk $index out of range")
     val (bytePos, carry) = cookies(index)

@@ -41,6 +41,14 @@ class FileSourceSpec extends AnyFunSuite {
     r.close()
   }
 
+  test("far-forward first access fills cookies iteratively (no deep recursion)") {
+    val text = "y" * 100000
+    val r = new ChunkedFileReader(tmp(text), 2) // 50k chunks ahead in one jump
+    assert(r.charAt(99999) == 'y')
+    assert(r.length == 100000)
+    r.close()
+  }
+
   test("surrogate pairs split across chunk boundaries decode losslessly") {
     // U+1D11E (musical G clef) is a surrogate pair in UTF-16
     val text = "a𝄞b𝄞c"
