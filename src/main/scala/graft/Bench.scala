@@ -92,6 +92,29 @@ object Bench {
     val efficiency = (cpsHi / cpsLo) / 4.0
     val controlEff = cpuControlEfficiency(nLo, nHi)
 
+    // 3. second scaling axis: vary DATA SIZE at fixed cores (local[4N]) —
+    // 0.5x and 2x the replicate used above. If clips/s is flat in rows, the
+    // N->4N efficiency is not flattered by fixed per-job overhead at the
+    // chosen replicate (the regime probe the round-2 verdict asked for).
+    val sizeAxis: Seq[(Int, Long, Double, Double)] = {
+      val extra = Seq(math.max(1, repl / 2), repl * 2).map { k =>
+        val runs = Seq.fill(2) {
+          spark = newSession(nHi)
+          val r = ValidationPipeline.timed(spark, sfDir, k)
+          spark.stop()
+          r
+        }
+        val (n, _, sec) = runs.minBy(_._3)
+        (k, n, sec, n / sec)
+      }
+      ((repl, nClips, secHi, cpsHi) +: extra).sortBy(_._1)
+    }
+    val sizeRows = sizeAxis.map { case (k, n, sec, cps) =>
+      f"| replicate=$k ($n clips) | $sec%.2f | $cps%.0f |"
+    }.mkString("\n")
+    val cpsFlat = sizeAxis.map(_._4)
+    val sizeSpread = (cpsFlat.max - cpsFlat.min) / cpsFlat.max
+
     val benchMd =
       f"""# BENCH — validated clips/sec + N->4N scaling evidence
          |
@@ -130,6 +153,17 @@ object Bench {
          |keeps the measurement about the engine, not the clock governor. The
          |pipeline's efficiency relative to the hardware ceiling is
          |${if (controlEff > 0) f"${efficiency / controlEff}%.3f" else "n/a"}.
+         |
+         |Second scaling axis — data size at fixed cores (local[$nHi], best of
+         |2 per size): throughput must be flat in rows/s, ruling out
+         |fixed-overhead flattery of the N->4N number at replicate=$repl.
+         |
+         || input size | wall (s) | clips/sec |
+         ||---|---|---|
+         |$sizeRows
+         |
+         |Max spread across sizes: ${f"$sizeSpread%.3f"} (fraction of peak
+         |clips/s; small = throughput is row-linear in this regime).
          |""".stripMargin
     // only the real benchmark scale updates the committed artifact — a
     // smoke run at sf0.001 must not clobber BENCH.md with startup-dominated
@@ -142,8 +176,11 @@ object Bench {
     val total = results.map(_._2).sum
     val scal =
       f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f}"""
+    val sizes = sizeAxis.map { case (k, n, sec, cps) =>
+      f"""{"replicate":$k,"clips":$n,"sec":$sec%.3f,"cps":$cps%.1f}"""
+    }.mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes}""")
   }
 
   /** Pure-CPU scaling control: StrictMath.sin loops on raw JVM threads at

@@ -79,11 +79,14 @@ object Cli {
       return 1
     }
 
+    var reader: graft.io.ChunkedFileReader = null
     try {
       // files go through the windowed chunked reader (reference cli() routes
       // files through from_file / StringFileWrapper); stdin is a string
       val data: CharSequence = a.filename match {
-        case Some(f) => new graft.io.ChunkedFileReader(Paths.get(f))
+        case Some(f) =>
+          reader = new graft.io.ChunkedFileReader(Paths.get(f))
+          reader
         case None => readStdin()
       }
       val schemaValue: Option[JsonValue] = (a.schema, a.schemaModel) match {
@@ -108,6 +111,9 @@ object Cli {
           else JsonRepair.repairToValue(data, skipJsonLoads = a.skipJsonLoads)
       }
       val text = PyJson.dumps(result, a.ensureAscii, Some(a.indent))
+      // release the input channel BEFORE writing: --inline rewrites the same
+      // file (round-2 advice: the channel used to leak per invocation)
+      if (reader != null) { reader.close(); reader = null }
       (a.inline, a.output) match {
         case (true, _) => Files.writeString(Paths.get(a.filename.get), text)
         case (_, Some(out)) => Files.writeString(Paths.get(out), text)
@@ -118,6 +124,8 @@ object Cli {
       case e: Throwable =>
         System.err.println(s"Error: ${e.getMessage}")
         1
+    } finally {
+      if (reader != null) reader.close()
     }
   }
 }

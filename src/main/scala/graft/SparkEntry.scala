@@ -44,10 +44,13 @@ object SparkEntry {
     "vc_hist" -> ((s, d) => ClipQueries.histogram(s, d)),
     "vc_transcript_eq" -> ((s, d) => ClipQueries.transcriptMismatch(s, d)),
     "ev_hourly" -> ((s, d) => EventQueries.hourly(s, d)),
-    "ev_sessions" -> ((s, d) => EventQueries.sessions(s, d))
+    "ev_sessions" -> ((s, d) => EventQueries.sessions(s, d)),
+    // REAL javax.imageio PNG decode, oracled in closed form (round-3 ask)
+    "mm_features" -> ((s, d) => graft.multimodal.Multimodal.imageFeatures(s, d))
   )
 
   def oracleSql: Map[String, String] =
     ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles ++
-      RepairQueries.oracles ++ EventQueries.oracles
+      RepairQueries.oracles ++ EventQueries.oracles ++
+      graft.multimodal.Multimodal.oracles
 }

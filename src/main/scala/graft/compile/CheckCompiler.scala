@@ -1,7 +1,6 @@
 package graft.compile
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dsl._
@@ -26,10 +25,11 @@ import graft.dsl._
   * Scale notes (100 TB):
   *   - row checks: zero shuffle, whole-stage-codegen'd `CASE WHEN` chains.
   *   - uniqueness: hash aggregate on the key — Spark's partial aggregation
-  *     is the pre-agg; AQE handles hot keys.
+  *     is the pre-agg, so a hot duplicate key costs one row per task; the
+  *     duplicated keys (the anomaly, a vanishing fraction) broadcast back
+  *     to flag rows. No window, so no single-task hot-spot.
   *   - referential: LEFT ANTI join on the key; broadcast under the
-  *     threshold, else sort-merge. The verdict path reuses the clip_id
-  *     shuffle for both the dup-window and the ref join.
+  *     threshold, else sort-merge.
   */
 object CheckCompiler {
 
@@ -113,7 +113,7 @@ object CheckCompiler {
 
   /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
     * its key is duplicated (globally), or its key is missing from the ref
-    * table. One clip_id shuffle serves the dup-window and the ref join. */
+    * table. */
   def verdicts(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame = {
     val rowBad: Column =
       suite.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
@@ -121,8 +121,21 @@ object CheckCompiler {
     var cur = df.withColumn("__row_bad", rowBad)
 
     suite.uniqueChecks.foreach { u =>
-      val w = Window.partitionBy(col(u.column))
-      cur = cur.withColumn(s"__dup_${u.column}", count(lit(1)).over(w) > 1)
+      // Skew-proof uniqueness: a hash aggregate on the key (map-side partial
+      // combine reduces even a 10^9-row hot duplicate to one row per task)
+      // filtered to the duplicated keys — a vanishing fraction by
+      // construction, the anomaly being detected — then broadcast back to
+      // flag rows. Round 2 used count(*) OVER (PARTITION BY key), which
+      // funnels every row of a hot key into a single window task with no
+      // salt/AQE escape (EngineSpec's 10^5-duplicate case shows the plan).
+      val dupKeys = df.groupBy(col(u.column))
+        .agg(count(lit(1)).as(s"__cnt_${u.column}"))
+        .filter(col(s"__cnt_${u.column}") > 1)
+        .select(col(u.column))
+        .withColumn(s"__dup_hit_${u.column}", lit(true))
+      cur = cur.join(broadcast(dupKeys), Seq(u.column), "left")
+        .withColumn(s"__dup_${u.column}",
+          coalesce(col(s"__dup_hit_${u.column}"), lit(false)))
     }
     suite.refChecks.foreach { r =>
       // distinct BEFORE the presence join: a ref table with duplicate keys

@@ -24,6 +24,20 @@ object Dedup {
   private def docs(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
+  /** Cache lifecycle: eagerly materialize the (small — anomaly pairs/labels)
+    * final result into its own cache, then release the heavyweight cached
+    * intermediates, so back-to-back queries in one long-lived session (the
+    * Bench loop, the Verify sweep) never accumulate executor storage. The
+    * surviving cache is O(reported duplicates) — the vanishing fraction by
+    * construction — and lineage is kept, so an evicted block recomputes
+    * correctly (just uncached). */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist()
+    out.count() // materialize while the intermediates are still cached
+    intermediates.foreach(_.unpersist(false))
+    out
+  }
+
   /** Exact duplicate groups by full text — pre-keyed on
     * (length, rolling fingerprint) so the wide shuffle never carries
     * document text as a key: the first aggregate groups 16-byte keys with
@@ -88,11 +102,12 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
     val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
     val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    inter.join(sa, "id_a").join(sb, "id_b")
+    val result = inter.join(sa, "id_a").join(sb, "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    materializeAndRelease(result, toks)
   }
 
   // ---- MinHash + LSH ------------------------------------------------------
@@ -183,48 +198,105 @@ object Dedup {
       .join(shs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
     val verify = udf((a: Seq[Long], b: Seq[Long]) => exactJaccard(a.toArray, b.toArray))
-    withSh.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
+    val result = withSh.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    materializeAndRelease(result, sigs)
   }
 
   /** Near-duplicate CLUSTERS: connected components over the verified
     * MinHash-LSH pair graph, keyed by the component's minimum doc_id — the
     * step a dedup pipeline actually keeps ("one canonical doc per cluster").
-    * Iterative min-label propagation: each round every vertex takes the
-    * minimum label among itself and its neighbours; rounds are bounded by
-    * the component diameter (driver loop with a convergence count — the
-    * standard Spark iterative-CC shape; at 10^12-row scale the same loop
-    * gets the large-star/small-star contraction, which only changes the
-    * per-round join recipe, not the control flow). Deterministic, so the
-    * DuckDB oracle replays it as a recursive transitive closure. */
+    * Deterministic, so the DuckDB oracle replays it as a recursive
+    * transitive closure. */
   def minhashClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashLsh(spark, sfDir, threshold).select("id_a", "id_b").persist()
-    val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-      .toDF("src", "dst").persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .persist()
-    var changed = 1L
+    val lsh = minhashLsh(spark, sfDir, threshold)
+    val out = connectedComponents(lsh.select("id_a", "id_b"))
+    lsh.unpersist(false) // out is materialized; the pair cache can go
+    out
+  }
+
+  /** Connected components by alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * star operations halve the distance to the component minimum each
+    * round, so convergence is O(log diameter) — a pathological long-chain
+    * duplicate topology (diameter >> 20, where round-2's plain min-label
+    * propagation silently returned split clusters) converges in ~log2(n)
+    * rounds (asserted on a 1,000-edge path graph in DedupSpec). Every
+    * per-round shuffle is keyed on vertex ids with map-side combine; the
+    * edge set shrinks monotonically toward the star fixed point.
+    *
+    * Input: undirected edge pairs (id_a, id_b); output one row per distinct
+    * endpoint: (doc_id, cluster_id = min doc_id of its component). Throws
+    * (loudly, per the round-2 advice) instead of returning non-converged
+    * labels if the cap is ever hit — at 50 alternating rounds that would
+    * take a component of depth ~2^50. */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val vertices = pairsIn.select(col("id_a").as("v"))
+      .union(pairsIn.select(col("id_b").as("v")))
+      .distinct().persist()
+    vertices.count()
+    // canonical directed edge (larger -> smaller); self-loops dropped.
+    // localCheckpoint (eager) both materializes each round and TRUNCATES
+    // the logical plan: a plain persist() leaves every round's plan nested
+    // ~6x inside the next round's, so analysis cost grows exponentially
+    // with the iteration count — the classic Spark iterative-algorithm
+    // trap (this loop hung around round 8 of a path graph before the
+    // truncation). At production scale the same call becomes a reliable
+    // checkpoint to the cluster checkpoint dir; blocks here are O(edges)
+    // and shrink per round.
+    var edges = pairsIn
+      .select(greatest(col("id_a"), col("id_b")).as("src"),
+        least(col("id_a"), col("id_b")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var prevCount = edges.count()
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 20) {
-      val neigh = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nl"))
-      val updated = labels.join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("new_label"))
-        .persist()
-      changed = updated.filter(col("new_label") < col("label")).count()
-      val prev = labels
-      labels = updated.select(col("doc_id"), col("new_label").as("label")).persist()
-      labels.count() // materialize before releasing the superseded round
-      prev.unpersist()
-      updated.unpersist()
+    val MaxIters = 50
+    while (!converged && iter < MaxIters) {
+      // large-star: every vertex u connects each strictly LARGER neighbour
+      // to the minimum of u's closed neighbourhood
+      val und = edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      val minsL = und.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      val large = und.join(minsL, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: every vertex u connects itself and all its SMALLER
+      // neighbours to the minimum among them
+      val minsS = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val next = large.join(minsS, "src")
+        .select(col("dst").as("a"), col("m").as("b")) // smaller neighbours -> min
+        .union(minsS.select(col("src").as("a"), col("m").as("b"))) // u itself -> min
+        .select(greatest(col("a"), col("b")).as("src"), least(col("a"), col("b")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      val nextCount = next.count()
+      // both sides are canonical DISTINCT sets: next ⊆ edges (one anti-join)
+      // plus equal counts ⇔ set equality — exact, one job cheaper than the
+      // symmetric-difference check
+      converged = nextCount == prevCount && next.except(edges).isEmpty
+      edges = next
+      prevCount = nextCount
       iter += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    if (!converged) {
+      vertices.unpersist(false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $MaxIters star-contraction rounds")
+    }
+    // fixed point = disjoint stars centred on each component minimum:
+    // every non-root edge is (member, root); roots label themselves
+    val labels = edges.groupBy(col("src").as("doc_id")).agg(min(col("dst")).as("cluster_id"))
+    val out = vertices.join(labels, vertices("v") === labels("doc_id"), "left")
+      .select(col("v").as("doc_id"), coalesce(col("cluster_id"), col("v")).as("cluster_id"))
+    materializeAndRelease(out, vertices) // checkpointed edge blocks are GC-reclaimed
   }
 
   // ---- SimHash ------------------------------------------------------------

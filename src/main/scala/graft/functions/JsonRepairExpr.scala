@@ -19,6 +19,30 @@ object JsonRepairKernels {
     PyJson.loads(s.toString).isDefined
   def repairActions(s: UTF8String): Int =
     JsonRepair.repairWithLog(s.toString)._2.length
+
+  /** Per-JVM compiled-schema registry (the reference's validator cache,
+    * schema_repair.py:134/:141-161, lifted to the executor): the schema
+    * travels to executors as a plain string reference object in the
+    * generated code, and each JVM parses it once on first use — so the
+    * schema-guided repair fuses into whole-stage codegen like its three
+    * stateless siblings instead of forcing a CodegenFallback boundary. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.repair.JsonValue]()
+
+  private def compiledSchema(schemaJson: String): graft.repair.JsonValue =
+    schemaCache.computeIfAbsent(schemaJson, j =>
+      PyJson.loads(j).getOrElse(
+        throw new IllegalArgumentException("invalid schema json")))
+
+  /** Returns null when the row cannot satisfy the schema (reject verdict). */
+  def repairSchema(s: UTF8String, schemaJson: String, salvage: Boolean): UTF8String = {
+    val schema = compiledSchema(schemaJson)
+    val mode =
+      if (salvage) graft.repair.SchemaRepair.Salvage else graft.repair.SchemaRepair.Standard
+    try UTF8String.fromString(PyJson.dumps(
+      graft.repair.SchemaRepair.loads(s.toString, schema, mode)))
+    catch { case _: graft.repair.SchemaRepair.RepairError => null }
+  }
 }
 
 /** `json_repair(s)` as a native Catalyst expression: per-row repair of
@@ -65,24 +89,25 @@ case class JsonRepairActionsExpr(child: Expression) extends UnaryExpression {
 
 /** `json_repair_schema(s)` — schema-guided repair (the reference's
   * `loads(s, schema=...)` typed layer): parse/repair then coerce + validate
-  * against the JSON Schema supplied at plan time (compiled once on the
-  * driver, reference validator-cache analogue). Rows that cannot satisfy
-  * the schema yield null (the per-row reject verdict). Keeps eval-mode
-  * execution (the schema object lives on the expression instance), but the
-  * hot jr_* path is the three kernels above. */
+  * against the JSON Schema supplied at plan time. Rows that cannot satisfy
+  * the schema yield null (the per-row reject verdict). Codegen emits a
+  * static kernel call with the schema shipped as a reference object and
+  * compiled once per JVM ([[JsonRepairKernels.repairSchema]]), so the
+  * expression fuses into the generated stage like its three siblings —
+  * round 2's CodegenFallback boundary is gone. */
 case class JsonSchemaRepairExpr(child: Expression, schemaJson: String, salvage: Boolean)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  @transient private lazy val schema: graft.repair.JsonValue =
-    PyJson.loads(schemaJson).getOrElse(
-      throw new IllegalArgumentException("invalid schema json"))
-  @transient private lazy val mode =
-    if (salvage) graft.repair.SchemaRepair.Salvage else graft.repair.SchemaRepair.Standard
+    extends UnaryExpression {
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    try UTF8String.fromString(PyJson.dumps(
-      graft.repair.SchemaRepair.loads(input.asInstanceOf[UTF8String].toString, schema, mode)))
-    catch { case _: graft.repair.SchemaRepair.RepairError => null }
+    JsonRepairKernels.repairSchema(input.asInstanceOf[UTF8String], schemaJson, salvage)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val schemaRef = ctx.addReferenceObj("schemaJson", schemaJson, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.JsonRepairKernels$$.MODULE$$.repairSchema($c, $schemaRef, $salvage);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
   override protected def withNewChildInternal(newChild: Expression): JsonSchemaRepairExpr =
     copy(child = newChild)
 }

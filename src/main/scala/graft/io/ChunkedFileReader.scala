@@ -71,10 +71,15 @@ final class ChunkedFileReader(path: Path, chunkLength0: Int = 0, startOffset: Lo
     while (!done) {
       bb.clear()
       val n = ch.read(bb, filePos)
-      val eof = n < 0
+      // eof must ALSO trigger when this read reaches the end of the file:
+      // a file ending in an INCOMPLETE multibyte sequence (valid prefix,
+      // missing continuation bytes) makes the decoder return underflow with
+      // zero bytes consumed while waiting for more input — with eof keyed
+      // only on read() < 0 the loop would re-read the same tail forever
+      val eof = n < 0 || filePos + math.max(n, 0) >= ch.size()
       bb.flip()
       val res = dec.decode(bb, out, eof)
-      filePos += (if (eof) 0 else n) - bb.remaining()
+      filePos += math.max(n, 0) - bb.remaining()
       if (res.isOverflow) {
         if (!out.hasRemaining) done = true // chunk exactly full
         else {
@@ -87,6 +92,14 @@ final class ChunkedFileReader(path: Path, chunkLength0: Int = 0, startOffset: Lo
             pair.flip()
             out.put(pair.get(0))
             nextCarry = pair.get(1)
+            done = true
+          } else if (pair.position() == 1) {
+            // the overflow-triggering sequence REPLACE-decoded to ONE char
+            // (malformed 4-byte prefix, mid-file or at eof): keep it, or the
+            // chunked view drops a character vs whole-string decoding
+            // (round-2 advice); the slot it fills is the chunk's last
+            pair.flip()
+            out.put(pair.get(0))
             done = true
           } else if (eof) done = true
           // else: bb lacked the full multibyte sequence — loop reads more

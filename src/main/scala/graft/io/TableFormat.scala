@@ -27,6 +27,18 @@ object TableFormat {
 
   private def metaDir(table: String): Path = Paths.get(table, "metadata")
 
+  /** JSON-encode a partition value by type — the manifest is load-bearing
+    * (read()/dataDirs() parse it with the strict PyJson parser), so a
+    * string partition value must be quoted/escaped or every read of the
+    * table would fail with 'lists no data'. */
+  private def jsonLit(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => b.toString
+    case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+              _: java.math.BigDecimal) => n.toString
+    case other => graft.repair.PyJson.dumps(graft.repair.JStr(other.toString))
+  }
+
   /** Full-replace snapshot of `df` partitioned by `partitionCol`. Returns
     * the committed snapshot version. */
   def commit(df: DataFrame, table: String, partitionCol: String): Int =
@@ -51,7 +63,8 @@ object TableFormat {
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
 
     val counts = df.groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => s"""{"${partitionCol}": ${r.get(0)}, "rows": ${r.getLong(1)}}""")
+      .collect().map(r =>
+        s"""{"${partitionCol}": ${jsonLit(r.get(0))}, "rows": ${r.getLong(1)}}""")
     Files.createDirectories(metaDir(table))
     val allDirs = (prevDirs :+ dataPath).map(d => s""""$d"""").mkString(", ")
     val snap =

@@ -183,24 +183,79 @@ object Multimodal {
     }
   }
 
-  /** Demo table: clips' real WAV bytes as `audio/wav` rows, genuine PNG
-    * payloads (deterministic gradient planes encoded by the JDK PNG writer)
-    * as `image/png` rows, and synthetic blobs as stub-decoded `video/mp4`
-    * rows. */
-  def demoTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+  /** Deterministic real-PNG table: gradient luma planes
+    * `luma(p) = (i*31 + p*7) % 256` at `(16+i%17) x (16+i%13)`, encoded by
+    * the JDK PNG writer. The encode/decode round-trip is lossless (RGB with
+    * r=g=b — see [[ImageCodec.encodePng]]), so every downstream feature is
+    * a closed-form function of (i, w, h) that a SQL oracle can replay. */
+  def imageTable(spark: SparkSession): Dataset[MediaFile] = {
     import spark.implicits._
-    val audio = graft.audio.AudioQueries.full(spark, sfDir)
-      .map(c => MediaFile(c.ord, "audio/wav", c.bytes))
-    val images = spark.range(0, 200).as[Long]
+    spark.range(0, 200).as[Long]
       .map { i =>
         val w = 16 + (i % 17).toInt
         val h = 16 + (i % 13).toInt
         val luma = Array.tabulate(w * h)(p => ((i * 31 + p * 7) % 256).toInt)
         MediaFile(1000000 + i, "image/png", ImageCodec.encodePng(w, h, luma))
       }
+  }
+
+  /** Driver-oracled image-feature query (`mm_features`): REAL javax.imageio
+    * PNG decode of [[imageTable]] through the batch [[extractFeatures]]
+    * plumbing. Because the PNG round-trip is lossless and the resize is
+    * deterministic nearest-neighbour, the DuckDB oracle recomputes
+    * (width, height, mean_intensity) in closed form from the generator
+    * arithmetic — a genuine end-to-end decode oracle, not a stub echo.
+    * n_bytes is projected out (PNG-encoder output size is not
+    * SQL-expressible). */
+  def imageFeatures(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    extractFeatures(imageTable(spark))
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_intensity"), 6).as("mean_intensity"))
+  }
+
+  /** Closed-form DuckDB replay of [[imageFeatures]]: regenerate the luma
+    * plane arithmetic, apply the same integer nearest-neighbour 32x32
+    * resize, and average with the same operation order
+    * (sum -> /1024 -> /255). */
+  val oracles: Map[String, String] = Map(
+    "mm_features" ->
+      """WITH imgs AS (
+        |  SELECT i, 1000000 + i AS media_id,
+        |    CAST(16 + i % 17 AS INTEGER) AS width,
+        |    CAST(16 + i % 13 AS INTEGER) AS height
+        |  FROM (SELECT unnest(range(200)) AS i)
+        |), px AS (
+        |  SELECT media_id, i, width, height,
+        |    ((y * height) // 32) * width + ((x * width) // 32) AS p
+        |  FROM imgs,
+        |    (SELECT unnest(range(32)) AS y),
+        |    (SELECT unnest(range(32)) AS x)
+        |), thumb AS (
+        |  SELECT media_id, width, height,
+        |    sum((i * 31 + p * 7) % 256) AS s
+        |  FROM px
+        |  GROUP BY media_id, width, height
+        |)
+        |SELECT media_id, width, height,
+        |  round(CAST(s AS DOUBLE) / 1024 / CAST(255 AS DOUBLE), 6) AS mean_intensity
+        |FROM thumb""".stripMargin
+  )
+}
+
+object MultimodalDemo {
+  import Multimodal._
+
+  /** Demo table: clips' real WAV bytes as `audio/wav` rows, the genuine PNG
+    * payloads of [[Multimodal.imageTable]] as `image/png` rows, and
+    * synthetic blobs as stub-decoded `video/mp4` rows. */
+  def demoTable(spark: SparkSession, sfDir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    val audio = graft.audio.AudioQueries.full(spark, sfDir)
+      .map(c => MediaFile(c.ord, "audio/wav", c.bytes))
     val videos = spark.range(0, 50).as[Long]
       .map(i => MediaFile(2000000 + i, "video/mp4",
         Array.tabulate(64 + (i % 1000).toInt)(j => ((i * 31 + j) % 251).toByte)))
-    audio.union(images).union(videos)
+    audio.union(imageTable(spark)).union(videos)
   }
 }

@@ -7,8 +7,9 @@ import graft.similarity.Ann
 import graft.text.TextQueries
 
 /** Training-data-pipeline queries over `documents` / `embeddings` plus
-  * their DuckDB oracles (where SQL-expressible; LSH/SimHash/fingerprint
-  * are hash-dependent and validated by ScalaTest instead). */
+  * their DuckDB oracles — ALL of them, including the hash-dependent ones
+  * (SimHash, MinHash, LSH, fingerprint), whose custom arithmetic is
+  * replayed exactly in SQL via HUGEINT mod-2^64 folds. */
 object DocQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -137,6 +138,69 @@ object DocQueries {
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // full arithmetic replay of the banded random-hyperplane LSH (row
+    // identity, not just the recall gate): the splitmix64-style planeCoef
+    // mix (Ann.scala planeCoef) is recomputed via HUGEINT mod-2^64 folds —
+    // the 64x64-bit multiply split into 32-bit halves so INT128 never
+    // overflows, and the final signed value routed through BIGINT because
+    // DuckDB's HUGEINT->DOUBLE cast truncates while BIGINT->DOUBLE rounds
+    // to nearest like the JVM — then the 12-bit signature, the 4x3-bit
+    // bands, the query-side Hamming-1 multi-probe, and the cosine ranking
+    // are replayed verbatim (list_inner_product = the sequential zip_with/
+    // aggregate dot product, precedent: ann_topk/ann_ivf hash-match).
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h0 AS (
+        |  SELECT p, d,
+        |    CAST((CAST(11400714819323198485 AS HUGEINT) * (p * 131 + d + 1))
+        |      % 18446744073709551616 AS UBIGINT) AS h
+        |  FROM (SELECT unnest(range(12)) AS p), (SELECT unnest(range(64)) AS d)
+        |), h1 AS (SELECT p, d, xor(h, h >> 33) AS h FROM h0),
+        |h2 AS (
+        |  SELECT p, d, CAST((
+        |      (CAST(h AS HUGEINT) % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+        |      + ((CAST(h AS HUGEINT) // 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+        |         % 4294967296) * 4294967296
+        |    ) % 18446744073709551616 AS UBIGINT) AS h
+        |  FROM h1
+        |), h3 AS (SELECT p, d, xor(h, h >> 33) AS h FROM h2),
+        |coef AS (
+        |  SELECT p, d,
+        |    CAST(CAST(CASE WHEN CAST(h AS HUGEINT) >= 9223372036854775808
+        |         THEN CAST(h AS HUGEINT) - 18446744073709551616
+        |         ELSE CAST(h AS HUGEINT) END AS BIGINT) AS DOUBLE)
+        |      / CAST(9223372036854775807 AS DOUBLE) AS c
+        |  FROM h3
+        |), planes AS (SELECT p, list(c ORDER BY d) AS pv FROM coef GROUP BY p),
+        |sigs AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum(CASE WHEN list_inner_product(pl.pv, e.v) >= 0
+        |             THEN 1 << pl.p ELSE 0 END) AS INTEGER) AS sig
+        |  FROM e, planes pl GROUP BY e.vec_id
+        |), banded AS (
+        |  SELECT vec_id, band, (sig >> (band * 3)) & 7 AS bb
+        |  FROM sigs, (SELECT unnest(range(4)) AS band) b
+        |), probes AS (
+        |  SELECT b.vec_id AS q_id, b.band, xor(b.bb, f.flip) AS bb
+        |  FROM banded b, (SELECT unnest([0, 1, 2, 4]) AS flip) f
+        |  WHERE b.vec_id < 16
+        |), cand AS (
+        |  SELECT DISTINCT p.q_id, c.vec_id AS neighbor
+        |  FROM probes p JOIN banded c ON c.band = p.band AND c.bb = p.bb
+        |  WHERE c.vec_id <> p.q_id
+        |), scored AS (
+        |  SELECT cand.q_id, cand.neighbor,
+        |    list_inner_product(qe.v, ce.v)
+        |      / (sqrt(list_inner_product(qe.v, qe.v)) * sqrt(list_inner_product(ce.v, ce.v))) AS cos
+        |  FROM cand
+        |  JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.neighbor
+        |), r AS (
+        |  SELECT q_id, neighbor, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor) AS rank
+        |  FROM scored
+        |)
+        |SELECT q_id, rank, neighbor, round(cos, 4) AS cos FROM r WHERE rank <= 5""".stripMargin,
     // every query must recover >=4 of its true top-5 through the banded LSH
     "ann_lsh_recall" ->
       """SELECT vec_id AS q_id, TRUE AS recall_ok FROM embeddings

@@ -20,12 +20,20 @@ object ValidationPipeline {
     * bucket count so bucketing, duplicate collisions and seed recovery all
     * survive the shift). Same job shape at k times the rows — the regime the
     * 10^12-row target actually runs in, where fixed stage overhead is noise. */
-  def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+  def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame =
     // repartition the BASE (1/k of the rows) before the broadcast fan-out:
     // the replicated rows inherit the partitioning, so the synth stage gets
     // its fixed task granularity while the exchange carries only the
     // unreplicated metadata
-    val base = ClipsTable.base(spark, sfDir).repartition(SynthPartitions)
+    replicate(spark, ClipsTable.base(spark, sfDir).repartition(SynthPartitions), k)
+
+  /** [[replicatedBase]] minus the synth-stage repartition — the lineage for
+    * cheap metadata-only side branches (the anomaly aggregate), which would
+    * otherwise pay the 512-partition exchange only to re-shuffle by key. */
+  private def replicatedMeta(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+    replicate(spark, ClipsTable.base(spark, sfDir).select("clip_id", "ord"), k)
+
+  private def replicate(spark: SparkSession, base: DataFrame, k: Int): DataFrame =
     if (k <= 1) base
     else {
       // one scan, fan out via a tiny broadcast range join (not k unions)
@@ -37,15 +45,20 @@ object ValidationPipeline {
         .withColumn("ord", col("ord") + col("__off"))
         .drop("__off")
     }
-  }
 
   /** Per-bucket verdicts of the complete suite (metadata + audio).
     *
-    * The referential check is specialized here: refs is by construction a
-    * projection of the same table (`ord % 131 != 0` rows), so presence is
-    * `max(ord % 131 != 0)` over the clip_id window — the SAME window that
-    * computes the duplicate count. One shuffle serves uniqueness AND
-    * referential; no refs scan, no distinct, no join. (The generic
+    * The global checks are specialized here: uniqueness and referential
+    * presence (refs is by construction the `ord % 131 != 0` projection of
+    * the same table) are both per-clip_id aggregates of the cheap METADATA
+    * — so they are computed by one hash aggregate over the narrow metadata
+    * scan (map-side partial combine: a 10^9-row hot duplicate costs one row
+    * per task — no window, no single-task hot-spot; see EngineSpec's 10^5×
+    * skewed-dup plan case), filtered to the anomalous keys (the vanishing
+    * fraction), and broadcast back. The expensive fused synth+validate
+    * stream then never shuffles at all: scan -> typed map -> broadcast
+    * join -> partially-aggregated per-bucket verdicts. At 10^12 rows the
+    * only wide exchange carries per-bucket partial counts. (The generic
     * CheckCompiler path keeps the anti-join for arbitrary ref tables;
     * equivalence is asserted in EngineSpec.) */
   /** Task granularity for the CPU-heavy synth+validate fan-out: fixed (not
@@ -85,12 +98,16 @@ object ValidationPipeline {
         }
       }.toDF("clip_id", "ord", "bucket", "row_bad")
 
-    val rowBad = col("row_bad")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("clip_id"))
+    // anomalous clip_ids (duplicated or absent from refs) from the cheap
+    // metadata only — the synth stream above is consumed exactly once
+    val anomalies = replicatedMeta(spark, sfDir, replicate).groupBy("clip_id")
+      .agg(count(lit(1)).as("__cnt"),
+        max(when(col("ord") % 131 =!= 0, 1).otherwise(0)).as("__present"))
+      .filter(col("__cnt") > 1 || col("__present") === 0)
+      .select(col("clip_id"), lit(true).as("__anomaly"))
     flagged
-      .withColumn("__dup", count(lit(1)).over(w) > 1)
-      .withColumn("__present", max(when(col("ord") % 131 =!= 0, 1).otherwise(0)).over(w) === 1)
-      .withColumn("__bad", rowBad || col("__dup") || !col("__present"))
+      .join(broadcast(anomalies), Seq("clip_id"), "left")
+      .withColumn("__bad", col("row_bad") || col("__anomaly").isNotNull)
       .groupBy(col("bucket").as("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),

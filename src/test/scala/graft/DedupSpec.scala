@@ -82,6 +82,27 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: 1,000-edge path graph (diameter >> 20) converges to one cluster") {
+    import spark.implicits._
+    // a single chain 0-1-2-...-1000: plain min-label propagation needs 1,000
+    // rounds (round 2 capped at 20 and silently returned split labels);
+    // star contraction must close it in O(log n) rounds
+    val pairs = (0L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == 1001)
+    assert(labels.map(_._1).toSet == (0L to 1000L).toSet)
+    assert(labels.forall(_._2 == 0L), s"split labels: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("connectedComponents: disjoint components keep distinct min labels") {
+    import spark.implicits._
+    val pairs = Seq((5L, 9L), (9L, 7L), (20L, 21L), (30L, 30L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
   test("lshTopK multi-probe recall@5 vs bruteTopK is >= 0.9 mean, >= 0.8 per query") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))

@@ -120,6 +120,31 @@ class EngineSpec extends AnyFunSuite {
     assert(resumed == oneShot)
   }
 
+  test("uniqueness verdicts survive a 10^5x hot duplicate key with no window hot-spot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one clip_id duplicated 100,000x plus unique tails — the pathological
+    // skew the round-2 count(*) OVER (PARTITION BY clip_id) window funnelled
+    // into a single task
+    val skewed = spark.range(0, 100000).select(
+      lit("clip-hot").as("clip_id"), col("id").as("ord"), (col("id") % 8).as("bucket"))
+      .unionByName(spark.range(0, 1000).select(
+        concat(lit("clip-u"), col("id")).as("clip_id"),
+        (col("id") + 200000).as("ord"), (col("id") % 8).as("bucket")))
+    val suite = graft.dsl.CheckSuite("clip_id", "bucket", Seq(graft.dsl.Unique("clip_id")))
+    val verdicts = graft.compile.CheckCompiler.verdicts(skewed, suite)
+    // plan assertion: uniqueness compiles to aggregate + broadcast join —
+    // the hot key is pre-combined map-side, never collected into one window
+    // task
+    val plan = verdicts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"verdict plan still contains a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"dup keys are not broadcast back:\n$plan")
+    val rows = verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // every bucket: 12,500 hot rows all bad + 125 unique rows all good
+    assert(rows == (0L until 8L).map(b => (b, 12625L, 12500L)).toSet)
+  }
+
   test("salted codec counts equal the naive aggregation") {
     val salted = ClipQueries.codecCounts(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -129,6 +154,28 @@ class EngineSpec extends AnyFunSuite {
     assert(salted == naive)
     // the deliberate skew is present: hot codec carries ~70% of rows
     assert(salted("pcm_s16le").toDouble / salted.values.sum > 0.6)
+  }
+
+  test("json_repair_schema: no CodegenFallback; codegen output equals direct evaluation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(!graft.functions.JsonSchemaRepairExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal("{}"), "{}", salvage = false)
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    val schema =
+      """{"type": "object", "properties": {"k": {"type": "integer"}}, "required": ["k"]}"""
+    val inputs = Seq("{'k': '7'}", "{}", "{k: 3,}", "not json at all", """{"k": 11}""")
+    val got = inputs.toDF("s")
+      .select(col("s"),
+        graft.functions.JsonRepairFunctions.jsonRepairSchema(spark, col("s"), schema).as("r"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    val sv = graft.repair.PyJson.loads(schema).get
+    val want = inputs.map { s =>
+      s -> (try Some(graft.repair.PyJson.dumps(
+          graft.repair.SchemaRepair.loads(s, sv, graft.repair.SchemaRepair.Standard)))
+        catch { case _: graft.repair.SchemaRepair.RepairError => None })
+    }.toMap
+    assert(got == want)
   }
 
   test("audio SNR violations are exactly the ord%149 rows") {

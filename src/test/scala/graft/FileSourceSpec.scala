@@ -30,6 +30,20 @@ class FileSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed trailing bytes on a chunk's last slot keep their replacement char") {
+    // round-2 advice: a truncated 4-byte UTF-8 tail that REPLACE-decodes to
+    // ONE char exactly when one output slot remains used to be dropped
+    val p = Files.createTempFile("chunked", ".bin")
+    Files.write(p, Array[Byte]('a'.toByte, 0xF0.toByte, 0x9F.toByte))
+    val whole = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    for (chunk <- Seq(2, 3, 1000)) {
+      val r = new ChunkedFileReader(p, chunk)
+      assert(r.length == whole.length, s"chunk=$chunk chunked=${r.length} whole=${whole.length}")
+      assert(r.toString == whole, s"chunk=$chunk")
+      r.close()
+    }
+  }
+
   test("cache evicts oldest chunks: bounded residency over a full scan") {
     val text = (0 until 1000).map(i => ('a' + i % 26).toChar).mkString
     val r = new ChunkedFileReader(tmp(text), 2, maxBuffersOverride = 3)

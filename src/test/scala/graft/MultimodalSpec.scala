@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{Multimodal, MultimodalDemo}
 
 /** Multimodal plumbing: real audio decode + stubbed image decode through
   * the same batch feature-extraction seam. */
@@ -18,7 +18,7 @@ class MultimodalSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("feature extraction handles mixed media deterministically") {
-    val feats = Multimodal.extractFeatures(Multimodal.demoTable(spark, sfDir))
+    val feats = Multimodal.extractFeatures(MultimodalDemo.demoTable(spark, sfDir))
       .collect()
     val audio = feats.filter(_.mime == "audio/wav")
     val images = feats.filter(_.mime == "image/png")
@@ -39,13 +39,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(videos.forall(f => f.width >= 16 && f.height >= 16))
     assert(videos.forall(f => f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0))
     // determinism: rerun equals first run
-    val again = Multimodal.extractFeatures(Multimodal.demoTable(spark, sfDir))
+    val again = Multimodal.extractFeatures(MultimodalDemo.demoTable(spark, sfDir))
       .collect().map(f => f.media_id -> f.mean_intensity).toMap
     assert(feats.forall(f => again(f.media_id) == f.mean_intensity))
   }
 
   test("video frame sampling emits every stride-th frame deterministically") {
-    val videos = Multimodal.demoTable(spark, sfDir).filter(_.mime == "video/mp4")
+    val videos = MultimodalDemo.demoTable(spark, sfDir).filter(_.mime == "video/mp4")
     val frames = Multimodal.sampleFrames(videos, stride = 10).collect()
     assert(frames.nonEmpty)
     // stride honored and per-media frame indices distinct

@@ -43,6 +43,21 @@ class TableFormatSpec extends AnyFunSuite {
     assert(pruned.count() == clips.filter(col("bucket") === 3).count())
   }
 
+  test("string partition column: manifest stays valid JSON and reads back") {
+    // round-2 advice: partition values were embedded unquoted in the
+    // manifest, so a non-numeric partition column produced invalid JSON and
+    // every read threw 'lists no data'
+    val table = Files.createTempDirectory("graft-strpart").toString
+    val clips = ClipsTable.base(spark, sfDir).limit(200)
+    val v = TableFormat.commit(clips, table, "codec")
+    assert(v == 1)
+    assert(TableFormat.dataDirs(table, 1).nonEmpty)
+    assert(TableFormat.read(spark, table).count() == 200)
+    // the manifest itself must parse under the strict grammar
+    val snap = java.nio.file.Paths.get(table, "metadata", "snap-1.json")
+    assert(graft.repair.PyJson.loads(Files.readString(snap)).isDefined)
+  }
+
   test("append snapshots accumulate data; time travel sees per-batch states") {
     val table = Files.createTempDirectory("graft-append").toString
     val clips = ClipsTable.base(spark, sfDir)
