@@ -46,14 +46,23 @@ object Bench {
         try fn(spark, warmSf).count()
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
-      val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
+      // two full passes, per-query minimum: this host shows transient
+      // multi-second throughput dips (tens of seconds long, arbitrary
+      // placement — measured by re-running the identical loop and watching
+      // the slow window move between queries), so a single-pass number can
+      // be 5-7x off for whichever queries the dip lands on. Same hedge the
+      // scaling section uses (interleaved min-of-3).
+      val passes = (1 to 2).map { _ =>
+        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
       }
       spark.stop()
-      r
+      passes.flatten.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (name, ts) => name -> ts.map(_._2).min }
     }
 
     // 2. scaling: the full validation pipeline at local[N] vs local[4N] on
@@ -160,11 +169,14 @@ object Bench {
          |
          || input size | wall (s) | clips/sec |
          ||---|---|---|
-         |$sizeRows
+         |@SIZE_ROWS@
          |
          |Max spread across sizes: ${f"$sizeSpread%.3f"} (fraction of peak
          |clips/s; small = throughput is row-linear in this regime).
          |""".stripMargin
+        // interpolated AFTER stripMargin: the rows' leading '|' table pipes
+        // would otherwise be eaten as margin markers
+        .replace("@SIZE_ROWS@", sizeRows)
     // only the real benchmark scale updates the committed artifact — a
     // smoke run at sf0.001 must not clobber BENCH.md with startup-dominated
     // numbers that say nothing about scaling
