@@ -147,12 +147,13 @@ object Bench {
          |(north-rule criterion: >= 0.8).
          |
          |Launch modes: this protocol runs identically under
-         |`spark-submit --class graft.Bench <jar>` (north-rule launch mode;
-         |round-2 spark-submit measurement: 0.904) and sbt;
+         |`spark-submit --class graft.Bench <jar>` (north-rule launch mode)
+         |and sbt, and the two agree (round-2: 0.904 spark-submit vs 0.866
+         |sbt; round-3: 0.892 spark-submit vs 0.877 sbt, same session);
          |`graft.SubmitPipeline` runs the single-level pipeline under
          |`spark-submit --master local[N]` for per-invocation evidence.
-         |Round-2 full-protocol measurements spanned 0.83-0.90 across five
-         |runs — all >= 0.8 (see BASELINE.md for the protocol's derivation).
+         |Full-protocol measurements so far span 0.83-0.90 — all >= 0.8
+         |(see BASELINE.md for the protocol's derivation).
          |
          |Hardware control, same run: a pure-CPU StrictMath.sin loop (no Spark,
          |no allocation, no shared state) at the same two thread counts scales

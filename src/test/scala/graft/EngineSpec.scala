@@ -156,6 +156,19 @@ class EngineSpec extends AnyFunSuite {
     assert(salted("pcm_s16le").toDouble / salted.values.sum > 0.6)
   }
 
+  test("fused pipeline plan shape: one synth pass, no window, broadcast anomalies") {
+    // lock in the 100x-scale plan: the expensive synth stream is scanned
+    // once (exactly one typed MapPartitions), global checks arrive via a
+    // broadcast of pre-aggregated anomalous keys (no clip_id window, no
+    // shuffle of the synth output other than the bucket partial-agg)
+    val plan = graft.run.ValidationPipeline.verdicts(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window in fused plan:\n$plan")
+    assert("MapPartitions".r.findAllIn(plan).size == 1,
+      s"synth pass not single-scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"anomalies not broadcast:\n$plan")
+  }
+
   test("json_repair_schema: no CodegenFallback; codegen output equals direct evaluation") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
