@@ -23,6 +23,7 @@ object DocQueries {
     "ann_lsh_recall" -> ((s, d) => Ann.lshRecall(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "dd_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
+    "dd_embed_cluster" -> ((s, d) => Ann.cosineClusters(s, d)),
     "ta_tokens" -> ((s, d) => TextQueries.tokens(s, d)),
     "ta_quality" -> ((s, d) => TextQueries.quality(s, d)),
     "ta_langid" -> ((s, d) => TextQueries.langId(s, d)),
@@ -138,6 +139,29 @@ object DocQueries {
         |  CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s, b.s)) <= 3""".stripMargin,
+    // connected components over the same cosine pair graph dd_embed_cosine
+    // verifies, replayed as a recursive transitive closure (the dd_cluster
+    // oracle pattern)
+    "dd_embed_cluster" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE a.vec_id % 20 = 0
+        |    AND list_inner_product(a.v, b.v)
+        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.4
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION SELECT id_b, id_a FROM p
+        |),
+        |reach AS (
+        |  SELECT src AS vec_id, dst AS r FROM edges
+        |  UNION
+        |  SELECT e2.src, r.r FROM edges e2 JOIN reach r ON r.vec_id = e2.dst
+        |)
+        |SELECT vec_id, cast(least(vec_id, min(r)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY vec_id""".stripMargin,
     // full arithmetic replay of the banded random-hyperplane LSH (row
     // identity, not just the recall gate): the splitmix64-style planeCoef
     // mix (Ann.scala planeCoef) is recomputed via HUGEINT mod-2^64 folds —

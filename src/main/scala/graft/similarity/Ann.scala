@@ -239,6 +239,19 @@ object Ann {
         col("vec_id").as("neighbor"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Embedding-cosine near-duplicate CLUSTERS: connected components over
+    * the [[cosinePairs]] graph (same alternating star-contraction engine as
+    * the MinHash clusters — O(log diameter) rounds), labelled by the
+    * component's minimum vec_id. The dedup decision a pipeline makes over
+    * an embedding column: keep one canonical vector per near-dup cluster. */
+  def cosineClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = cosinePairs(spark, sfDir, threshold)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+  }
+
   /** Per-query recall@k of [[lshTopK]] against the exact [[bruteTopK]],
     * reduced to the oracle-able per-query gate `recall_ok` (recall >= 0.8,
     * i.e. >= 4 of the true top-5 surfaced). The oracle asserts TRUE for
