@@ -103,6 +103,20 @@ class DedupSpec extends AnyFunSuite {
     assert(labels == Map(5L -> 5L, 9L -> 5L, 7L -> 5L, 20L -> 20L, 21L -> 20L, 30L -> 30L))
   }
 
+  test("cosine clusters are consistent components of the cosine pair graph") {
+    val pairs = Ann.cosinePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Ann.cosineClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"edge ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+    }
+  }
+
   test("lshTopK multi-probe recall@5 vs bruteTopK is >= 0.9 mean, >= 0.8 per query") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
