@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.run.{Runner, ValidationPipeline}
+
+/** spark-submit entry for the COMPLETE production lifecycle — the north
+  * rule end to end in one launch: validate the clips table (metadata checks
+  * + the two audio invariants from the fused synth pass), write per-bucket
+  * pass/fail verdicts AND violation rows as partitioned side tables, commit
+  * a per-batch checkpoint manifest (lineage + metrics), and bind the
+  * verdicts to an Iceberg-layout snapshot table. Re-running the same
+  * command resumes: completed buckets are skipped (their manifests exist),
+  * so a crashed run continues where it stopped and a finished run is a
+  * no-op.
+  *
+  * {{{
+  * spark-submit --master local[24] --class graft.SubmitJob <jar> <sfDir> <outDir> [maxBuckets]
+  * }}}
+  *
+  * `maxBuckets` bounds how many of the remaining buckets this invocation
+  * completes (simulates a mid-run crash for the resume demonstration).
+  * Prints one JSON line: processed/skipped bucket counts, row totals, wall.
+  */
+object SubmitJob {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_submit_job"
+    val maxBuckets = if (args.length > 2) args(2).toInt else Int.MaxValue
+    val spark = SparkSession.builder()
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+      spark.conf.set("spark.sql.shuffle.partitions",
+        spark.sparkContext.defaultParallelism.toString)
+
+    val t0 = System.nanoTime()
+    val aug = ValidationPipeline.augmented(spark, sfDir)
+    val suite = ValidationPipeline.fullSuite(spark, sfDir)
+    val summary = Runner.run(spark, aug, suite, outDir,
+      maxBuckets = maxBuckets, snapshotTable = Some(s"$outDir/verdict_table"))
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nRows = summary.processed.map(_.nRows).sum
+    val nBad = summary.processed.map(_.nBad).sum
+    println(f"""{"master":"${spark.sparkContext.master}","processed_buckets":${summary.processed.size},"skipped_buckets":${summary.skipped.size},"rows":$nRows,"bad_rows":$nBad,"sec":$sec%.3f}""")
+    spark.stop()
+  }
+}

@@ -94,7 +94,14 @@ object Runner {
     // Full input feeds the compiler (dataset-level checks are global);
     // `scope` restricts what this batch reports. Explicit range partition
     // on the key ahead of the key-shuffled operators (north rule).
+    // Persisted across the two jobs below (violations write + verdicts
+    // write): the input lineage may embed the expensive fused synth pass,
+    // which would otherwise run once per job. The frame is NARROW (metadata
+    // + audio measurements, no bytes), so at 10^12 rows this is a
+    // disk-spillable cache of the cheap columns, not the audio payload;
+    // released before returning.
     val repart = df.repartitionByRange(totalBuckets, col(suite.keyColumn))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // outputs are keyed PER BUCKET (dynamic partition overwrite): a retry
     // recomputes its buckets into the same bucket=N dirs no matter how the
@@ -117,6 +124,7 @@ object Runner {
     // the same todo set / batchId and overwrites the same output dirs.
     val results = verdicts.collect().map(r =>
       BucketResult(r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    repart.unpersist(false) // all three consumers (2 writes + collect) done
     val wallMs = (System.nanoTime() - t0) / 1000000
     val byBucket = results.map(r => r.bucket -> r).toMap
     val entries = todo.map { b =>
