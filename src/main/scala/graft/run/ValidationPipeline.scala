@@ -63,8 +63,10 @@ object ValidationPipeline {
     * equivalence is asserted in EngineSpec.) */
   /** Task granularity for the CPU-heavy synth+validate fan-out: fixed (not
     * a multiple of the core count) so both parallelism levels of the
-    * scaling bench run the exact same partitioning and per-task work. */
-  val SynthPartitions = 512
+    * scaling bench run the exact same partitioning and per-task work.
+    * Env-overridable for granularity experiments. */
+  val SynthPartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SYNTH_PARTITIONS", "512").toInt
 
   def verdicts(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     import spark.implicits._
