@@ -57,7 +57,12 @@ object Bench {
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          name -> (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          // session-owner cache lifecycle (outside the timed window): drop
+          // the small persisted finals each query materializes so the
+          // 2x40-query sweep never accumulates executor storage
+          spark.catalog.clearCache()
+          name -> sec
         }
       }
       spark.stop()
@@ -105,8 +110,12 @@ object Bench {
     // 0.5x and 2x the replicate used above. If clips/s is flat in rows, the
     // N->4N efficiency is not flattered by fixed per-job overhead at the
     // chosen replicate (the regime probe the round-2 verdict asked for).
-    val sizeAxis: Seq[(Int, Long, Double, Double)] = {
-      val extra = Seq(math.max(1, repl / 2), repl * 2).map { k =>
+    // every size — including the base replicate — measured under the SAME
+    // best-of-2 back-to-back protocol, so the spread compares like with
+    // like (the headline N->4N rows above keep their own interleaved
+    // min-of-3 protocol); distinct() keeps repl=1 from duplicating itself
+    val sizeAxis: Seq[(Int, Long, Double, Double)] =
+      Seq(math.max(1, repl / 2), repl, repl * 2).distinct.map { k =>
         val runs = Seq.fill(2) {
           spark = newSession(nHi)
           val r = ValidationPipeline.timed(spark, sfDir, k)
@@ -115,9 +124,7 @@ object Bench {
         }
         val (n, _, sec) = runs.minBy(_._3)
         (k, n, sec, n / sec)
-      }
-      ((repl, nClips, secHi, cpsHi) +: extra).sortBy(_._1)
-    }
+      }.sortBy(_._1)
     val sizeRows = sizeAxis.map { case (k, n, sec, cps) =>
       f"| replicate=$k ($n clips) | $sec%.2f | $cps%.0f |"
     }.mkString("\n")

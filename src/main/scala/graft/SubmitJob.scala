@@ -32,7 +32,10 @@ object SubmitJob {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+    // follow the granted cores unless the submit set partitions EXPLICITLY —
+    // probe the SparkConf (only explicit settings), not RuntimeConfig.get,
+    // which silently returns the registered "200" default for this key
+    if (!spark.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.defaultParallelism.toString)
 

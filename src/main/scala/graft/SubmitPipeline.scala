@@ -27,8 +27,10 @@ object SubmitPipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // shuffle partitions follow the granted cores unless the submit set them
-    if (spark.conf.getOption("spark.sql.shuffle.partitions").isEmpty)
+    // follow the granted cores unless the submit set partitions EXPLICITLY —
+    // probe the SparkConf (only explicit settings), not RuntimeConfig.get,
+    // which silently returns the registered "200" default for this key
+    if (!spark.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.defaultParallelism.toString)
     // warm pass (JIT + page cache), then the measured run

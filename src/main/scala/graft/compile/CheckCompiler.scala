@@ -26,8 +26,9 @@ import graft.dsl._
   *   - row checks: zero shuffle, whole-stage-codegen'd `CASE WHEN` chains.
   *   - uniqueness: hash aggregate on the key — Spark's partial aggregation
   *     is the pre-agg, so a hot duplicate key costs one row per task; the
-  *     duplicated keys (the anomaly, a vanishing fraction) broadcast back
-  *     to flag rows. No window, so no single-task hot-spot.
+  *     duplicated keys join back to flag rows (AQE picks broadcast when
+  *     they are few — the normal case — and a skew-split shuffled join when
+  *     they are not). No window, so no single-task hot-spot.
   *   - referential: LEFT ANTI join on the key; broadcast under the
   *     threshold, else sort-merge.
   */
@@ -123,19 +124,28 @@ object CheckCompiler {
     suite.uniqueChecks.foreach { u =>
       // Skew-proof uniqueness: a hash aggregate on the key (map-side partial
       // combine reduces even a 10^9-row hot duplicate to one row per task)
-      // filtered to the duplicated keys — a vanishing fraction by
-      // construction, the anomaly being detected — then broadcast back to
-      // flag rows. Round 2 used count(*) OVER (PARTITION BY key), which
-      // funnels every row of a hot key into a single window task with no
-      // salt/AQE escape (EngineSpec's 10^5-duplicate case shows the plan).
+      // filtered to the duplicated keys, joined back to flag rows. The join
+      // carries NO broadcast hint: duplicate-key cardinality is
+      // data-dependent (a mostly-duplicated dataset makes it ~half the
+      // keyspace), so the planner/AQE picks broadcast when the aggregate
+      // output is actually small and falls back to a shuffled join (with
+      // AQE skew splitting) when it is not — a forced broadcast would die
+      // at the 8GB cap in exactly the pathological case. Round 2 used
+      // count(*) OVER (PARTITION BY key), which funnels every row of a hot
+      // key into a single window task with no salt/AQE escape (EngineSpec's
+      // 10^5-duplicate case shows the plan). The join is NULL-SAFE: NULL
+      // keys group together like the window did, so duplicate NULLs still
+      // flag (and stay consistent with the violations path).
       val dupKeys = df.groupBy(col(u.column))
         .agg(count(lit(1)).as(s"__cnt_${u.column}"))
         .filter(col(s"__cnt_${u.column}") > 1)
-        .select(col(u.column))
+        .select(col(u.column).as(s"__dup_key_${u.column}"))
         .withColumn(s"__dup_hit_${u.column}", lit(true))
-      cur = cur.join(broadcast(dupKeys), Seq(u.column), "left")
+      cur = cur.join(dupKeys,
+          cur(u.column) <=> dupKeys(s"__dup_key_${u.column}"), "left")
         .withColumn(s"__dup_${u.column}",
           coalesce(col(s"__dup_hit_${u.column}"), lit(false)))
+        .drop(s"__dup_key_${u.column}")
     }
     suite.refChecks.foreach { r =>
       // distinct BEFORE the presence join: a ref table with duplicate keys

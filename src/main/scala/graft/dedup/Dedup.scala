@@ -30,7 +30,10 @@ object Dedup {
     * Bench loop, the Verify sweep) never accumulate executor storage. The
     * surviving cache is O(reported duplicates) — the vanishing fraction by
     * construction — and lineage is kept, so an evicted block recomputes
-    * correctly (just uncached). */
+    * correctly (just uncached). The SESSION OWNER releases these finals
+    * once results are consumed (Bench and Verify call
+    * `spark.catalog.clearCache()` between queries), so even the finals
+    * don't accumulate across a long sweep. */
   private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val out = result.persist()
     out.count() // materialize while the intermediates are still cached

@@ -34,6 +34,8 @@ object TableFormat {
   private def jsonLit(v: Any): String = v match {
     case null => "null"
     case b: Boolean => b.toString
+    case d: Double if !java.lang.Double.isFinite(d) => s""""$d"""" // NaN/Inf: no JSON literal
+    case f: Float if !java.lang.Float.isFinite(f) => s""""$f""""
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
               _: java.math.BigDecimal) => n.toString
     case other => graft.repair.PyJson.dumps(graft.repair.JStr(other.toString))

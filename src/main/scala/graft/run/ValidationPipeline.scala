@@ -54,13 +54,16 @@ object ValidationPipeline {
     * — so they are computed by one hash aggregate over the narrow metadata
     * scan (map-side partial combine: a 10^9-row hot duplicate costs one row
     * per task — no window, no single-task hot-spot; see EngineSpec's 10^5×
-    * skewed-dup plan case), filtered to the anomalous keys (the vanishing
-    * fraction), and broadcast back. The expensive fused synth+validate
-    * stream then never shuffles at all: scan -> typed map -> broadcast
-    * join -> partially-aggregated per-bucket verdicts. At 10^12 rows the
-    * only wide exchange carries per-bucket partial counts. (The generic
-    * CheckCompiler path keeps the anti-join for arbitrary ref tables;
-    * equivalence is asserted in EngineSpec.) */
+    * skewed-dup plan case), filtered to the anomalous keys, and joined
+    * back. The join is deliberately unhinted: AQE broadcasts the anomaly
+    * side when it is small at runtime (the expensive synth stream then
+    * never shuffles), and falls back to a skew-split shuffled join of the
+    * NARROW flagged rows when anomalies scale with the data — this
+    * generator's refs-absent keys are ~1/131 of all clips, which at 10^12
+    * rows is far past any broadcast cap. Either way the wide exchanges
+    * carry bits, never audio. (The generic CheckCompiler path keeps the
+    * anti-join for arbitrary ref tables; equivalence is asserted in
+    * EngineSpec.) */
   /** Task granularity for the CPU-heavy synth+validate fan-out: fixed (not
     * a multiple of the core count) so both parallelism levels of the
     * scaling bench run the exact same partitioning and per-task work.
@@ -101,14 +104,20 @@ object ValidationPipeline {
       }.toDF("clip_id", "ord", "bucket", "row_bad")
 
     // anomalous clip_ids (duplicated or absent from refs) from the cheap
-    // metadata only — the synth stream above is consumed exactly once
+    // metadata only — the synth stream above is consumed exactly once.
+    // No broadcast hint: the refs-absent keys are ~1/131 of ALL clips by
+    // construction, i.e. they scale linearly with the data (7.6e9 keys at
+    // the 10^12-row target — far past the broadcast cap), so the join must
+    // be allowed to fall back to a shuffled join of NARROW rows; AQE
+    // converts it to broadcast at runtime whenever the anomaly side is
+    // actually small, and skew-splits the probe side when it is not.
     val anomalies = replicatedMeta(spark, sfDir, replicate).groupBy("clip_id")
       .agg(count(lit(1)).as("__cnt"),
         max(when(col("ord") % 131 =!= 0, 1).otherwise(0)).as("__present"))
       .filter(col("__cnt") > 1 || col("__present") === 0)
       .select(col("clip_id"), lit(true).as("__anomaly"))
     flagged
-      .join(broadcast(anomalies), Seq("clip_id"), "left")
+      .join(anomalies, Seq("clip_id"), "left")
       .withColumn("__bad", col("row_bad") || col("__anomaly").isNotNull)
       .groupBy(col("bucket").as("bucket"))
       .agg(

@@ -1,4 +1,6 @@
-package graft
+package graft.tools
+
+import graft.SparkEntry
 
 import org.apache.spark.sql.SparkSession
 
@@ -36,8 +38,10 @@ object IsoBench {
       for (pass <- 1 to 2) {
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => println(s"[iso] $name FAILED: ${e.getMessage}") }
           println(f"[iso] pass$pass $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          spark.catalog.clearCache()
         }
       }
       spark.stop()

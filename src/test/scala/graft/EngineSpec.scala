@@ -133,16 +133,34 @@ class EngineSpec extends AnyFunSuite {
         (col("id") + 200000).as("ord"), (col("id") % 8).as("bucket")))
     val suite = graft.dsl.CheckSuite("clip_id", "bucket", Seq(graft.dsl.Unique("clip_id")))
     val verdicts = graft.compile.CheckCompiler.verdicts(skewed, suite)
-    // plan assertion: uniqueness compiles to aggregate + broadcast join —
-    // the hot key is pre-combined map-side, never collected into one window
-    // task
-    val plan = verdicts.queryExecution.executedPlan.toString
-    assert(!plan.contains("Window"), s"verdict plan still contains a window:\n$plan")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"dup keys are not broadcast back:\n$plan")
     val rows = verdicts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // every bucket: 12,500 hot rows all bad + 125 unique rows all good
     assert(rows == (0L until 8L).map(b => (b, 12625L, 12500L)).toSet)
+    // plan assertion (final adaptive plan, after execution): uniqueness
+    // compiles to aggregate + join — the hot key is pre-combined map-side,
+    // never collected into one window task; with the tiny dup-key side AQE
+    // picks a broadcast join at runtime (no forced hint: dup cardinality is
+    // data-dependent)
+    val plan = verdicts.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"verdict plan still contains a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the tiny dup-key side:\n$plan")
+  }
+
+  test("duplicate NULL keys: verdicts and violations agree (null-safe dup join)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      (Option.empty[String], 0L, 0L), (Option.empty[String], 1L, 0L),
+      (Some("k1"), 2L, 1L), (Some("k2"), 3L, 1L))
+      .toDF("clip_id", "ord", "bucket")
+    val suite = graft.dsl.CheckSuite("clip_id", "bucket", Seq(graft.dsl.Unique("clip_id")))
+    val verd = graft.compile.CheckCompiler.verdicts(df, suite)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the two NULL-key rows in bucket 0 are duplicates of each other
+    assert(verd == Set((0L, 2L, 2L), (1L, 2L, 0L)))
+    val viol = graft.compile.CheckCompiler.violations(df, suite).collect()
+    assert(viol.length == 1 && viol.head.getString(1) == "unique_clip_id")
   }
 
   test("salted codec counts equal the naive aggregation") {
@@ -156,17 +174,23 @@ class EngineSpec extends AnyFunSuite {
     assert(salted("pcm_s16le").toDouble / salted.values.sum > 0.6)
   }
 
-  test("fused pipeline plan shape: one synth pass, no window, broadcast anomalies") {
+  test("fused pipeline plan shape: one synth pass, no window, AQE-broadcast anomalies") {
     // lock in the 100x-scale plan: the expensive synth stream is scanned
     // once (exactly one typed MapPartitions), global checks arrive via a
-    // broadcast of pre-aggregated anomalous keys (no clip_id window, no
-    // shuffle of the synth output other than the bucket partial-agg)
-    val plan = graft.run.ValidationPipeline.verdicts(spark, sfDir)
-      .queryExecution.executedPlan.toString
+    // join of pre-aggregated anomalous keys (no clip_id window); the join
+    // is unhinted — at this scale the anomaly side is small, so the FINAL
+    // adaptive plan must show AQE converting it to a broadcast join
+    val verdicts = graft.run.ValidationPipeline.verdicts(spark, sfDir)
+    verdicts.collect()
+    // AdaptiveSparkPlan.toString prints Final AND Initial sections —
+    // assert on the final one only
+    val plan = verdicts.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!plan.contains("Window"), s"window in fused plan:\n$plan")
     assert("MapPartitions".r.findAllIn(plan).size == 1,
       s"synth pass not single-scan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), s"anomalies not broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"AQE did not broadcast the small anomaly side:\n$plan")
   }
 
   test("json_repair_schema: no CodegenFallback; codegen output equals direct evaluation") {
