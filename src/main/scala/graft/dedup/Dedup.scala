@@ -56,10 +56,13 @@ object Dedup {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
       .select("n", "fp")
-    // duplicate key groups are a vanishing fraction of the corpus ->
-    // broadcast them back; the exact-text group runs only on candidates
-    // (fp collisions are filtered by the text equality of the group key)
-    d.join(broadcast(dupKeys), Seq("n", "fp"))
+    // duplicate key groups join back UNHINTED: usually a vanishing fraction
+    // (AQE broadcasts them at runtime), but their cardinality is
+    // data-dependent — a mostly-duplicated corpus makes them ~half the
+    // keyspace, where a forced broadcast would die at the cap; the exact-
+    // text group then runs only on candidates (fp collisions are filtered
+    // by the text equality of the group key)
+    d.join(dupKeys, Seq("n", "fp"))
       .groupBy(col("text"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") > 1)
