@@ -28,6 +28,16 @@ object Bench {
     spark
   }
 
+  /** Projection-forcing benchmark action. `count()` is NOT it: Catalyst's
+    * column pruning removes the entire unused Project under a global count,
+    * so a projection-only query (the jr_* / ta_* families) would time a
+    * bare parquet scan — verified round-3: the optimized count plans of
+    * jr_repair and ta_fingerprint contained no repair/fingerprint
+    * expression at all. The noop DSv2 sink consumes EVERY output column
+    * (plan retention is asserted in BenchActionSpec) while writing nothing. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -43,7 +53,7 @@ object Bench {
       spark = newSession(cpus)
       val warmSf = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmSf).count()
+        try force(fn(spark, warmSf))
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
       // two full passes, per-query minimum: this host shows transient
@@ -52,12 +62,26 @@ object Bench {
       // the slow window move between queries), so a single-pass number can
       // be 5-7x off for whichever queries the dip lands on. Same hedge the
       // scaling section uses (interleaved min-of-3).
+      // the au_* family reads a shared materialized `measured`
+      // (AudioQueries.measuredShared — one synth pass, four consumers, the
+      // 100 TB shape). Build it HERE, timed, and report the cost as its own
+      // "au_materialize" entry: otherwise it would land on whichever au_*
+      // query ran first in pass 1 and min-of-2 would silently drop it.
+      val tMat = System.nanoTime()
+      graft.audio.AudioQueries.measuredShared(spark, sfDir).count()
+      val auMaterialize = "au_materialize" -> (System.nanoTime() - tMat) / 1e9
+
       val passes = (1 to 2).map { _ =>
         SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-          val sec = (System.nanoTime() - t0) / 1e9
+          // a failed pass records NaN, NOT its short time-to-fail — the min
+          // below must never pick a fast failure over a real success
+          val sec =
+            try { force(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Double.NaN
+            }
           // session-owner cache lifecycle (outside the timed window): drop
           // the small persisted finals each query materializes so the
           // 2x40-query sweep never accumulates executor storage
@@ -66,8 +90,16 @@ object Bench {
         }
       }
       spark.stop()
-      passes.flatten.groupBy(_._1).toSeq.sortBy(_._1)
-        .map { case (name, ts) => name -> ts.map(_._2).min }
+      (passes.flatten :+ auMaterialize).groupBy(_._1).toSeq.sortBy(_._1)
+        .flatMap { case (name, ts) =>
+          val ok = ts.map(_._2).filterNot(_.isNaN)
+          if (ok.isEmpty) {
+            // loud flag, excluded from the JSON (NaN is not valid JSON) —
+            // a query with zero successful passes has no benchmark number
+            System.err.println(s"[bench] $name: ZERO successful passes — excluded")
+            None
+          } else Some(name -> ok.min)
+        }
     }
 
     // 2. scaling: the full validation pipeline at local[N] vs local[4N] on

@@ -46,11 +46,16 @@ object SparkEntry {
     "ev_hourly" -> ((s, d) => EventQueries.hourly(s, d)),
     "ev_sessions" -> ((s, d) => EventQueries.sessions(s, d)),
     // REAL javax.imageio PNG decode, oracled in closed form (round-3 ask)
-    "mm_features" -> ((s, d) => graft.multimodal.Multimodal.imageFeatures(s, d))
+    "mm_features" -> ((s, d) => graft.multimodal.Multimodal.imageFeatures(s, d)),
+    // Structured Streaming run to completion (round-4 ask: the streaming
+    // path enters the driver CORRECTNESS gate, not just StreamingSpec)
+    "st_windowed" -> ((s, d) =>
+      graft.streaming.StreamingValidation.windowedVerdictsBatch(s, d))
   )
 
   def oracleSql: Map[String, String] =
     ClipQueries.oracles ++ AudioQueries.oracles ++ DocQueries.oracles ++
       RepairQueries.oracles ++ EventQueries.oracles ++
-      graft.multimodal.Multimodal.oracles
+      graft.multimodal.Multimodal.oracles ++
+      graft.streaming.StreamingValidation.oracles
 }

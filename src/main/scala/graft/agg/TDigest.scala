@@ -18,26 +18,36 @@ final case class TDigestBuf(
     compression: Double,
     means: Array[Double],
     weights: Array[Double],
-    bufMeans: Array[Double],
-    bufWeights: Array[Double])
+    buf: Array[Double],
+    bufLen: Int)
 
 object TDigest {
   val DefaultCompression = 100.0
   private val BufferCap = 512
 
   def empty(compression: Double = DefaultCompression): TDigestBuf =
-    TDigestBuf(compression, Array.empty, Array.empty, Array.empty, Array.empty)
+    TDigestBuf(compression, Array.empty, Array.empty, Array.empty, 0)
 
-  def add(b: TDigestBuf, x: Double): TDigestBuf = {
-    val nb = b.copy(bufMeans = b.bufMeans :+ x, bufWeights = b.bufWeights :+ 1.0)
-    if (nb.bufMeans.length >= BufferCap) compress(nb) else nb
+  /** Buffered inserts land in a PRE-SIZED scratch array via a write cursor
+    * (`bufLen`) — the previous `:+` shape copied the whole buffer on every
+    * input row (O(cap^2) copying + 2 garbage arrays per row in the hottest
+    * aggregation loop). Buffered entries always have weight 1.0, so no
+    * parallel weight buffer is needed. The Aggregator reduce contract
+    * allows mutating and returning the buffer, and compress hands the
+    * scratch array back (cursor reset) so steady state allocates nothing
+    * per row but the 5-field case-class shell. */
+  def add(b0: TDigestBuf, x: Double): TDigestBuf = {
+    val b = if (b0.bufLen >= BufferCap) compress(b0) else b0
+    val buf = if (b.buf.length >= BufferCap) b.buf else new Array[Double](BufferCap)
+    buf(b.bufLen) = x
+    b.copy(buf = buf, bufLen = b.bufLen + 1)
   }
 
   def merge(a0: TDigestBuf, b0: TDigestBuf): TDigestBuf = {
     val a = compress(a0); val b = compress(b0)
     val comp = math.max(a.compression, b.compression)
     compress(TDigestBuf(comp,
-      a.means ++ b.means, a.weights ++ b.weights, Array.empty, Array.empty))
+      a.means ++ b.means, a.weights ++ b.weights, Array.empty, 0))
   }
 
   /** k1 scale function: k(q) = (δ / 2π) · asin(2q − 1). */
@@ -45,11 +55,15 @@ object TDigest {
     d / (2.0 * math.Pi) * StrictMath.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
 
   def compress(b: TDigestBuf): TDigestBuf = {
-    val n = b.means.length + b.bufMeans.length
-    if (n == 0) return b.copy(bufMeans = Array.empty, bufWeights = Array.empty)
+    val n = b.means.length + b.bufLen
+    if (n == 0) return b // n == 0 implies bufLen == 0 — nothing to reset
     val idx = Array.range(0, n)
-    val ms = b.means ++ b.bufMeans
-    val ws = b.weights ++ b.bufWeights
+    val ms = new Array[Double](n)
+    System.arraycopy(b.means, 0, ms, 0, b.means.length)
+    System.arraycopy(b.buf, 0, ms, b.means.length, b.bufLen)
+    val ws = new Array[Double](n)
+    System.arraycopy(b.weights, 0, ws, 0, b.weights.length)
+    java.util.Arrays.fill(ws, b.weights.length, n, 1.0) // buffered weight = 1
     val order = idx.sortBy(ms(_))
     val total = ws.sum
     val outM = Array.newBuilder[Double]
@@ -74,7 +88,8 @@ object TDigest {
       i += 1
     }
     outM += curM; outW += curW
-    TDigestBuf(b.compression, outM.result(), outW.result(), Array.empty, Array.empty)
+    // scratch array handed back (cursor reset) for allocation-free reuse
+    TDigestBuf(b.compression, outM.result(), outW.result(), b.buf, 0)
   }
 
   /** Quantile estimate with linear interpolation between centroid means. */

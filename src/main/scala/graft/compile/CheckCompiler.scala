@@ -29,8 +29,18 @@ import graft.dsl._
   *     duplicated keys join back to flag rows (AQE picks broadcast when
   *     they are few — the normal case — and a skew-split shuffled join when
   *     they are not). No window, so no single-task hot-spot.
-  *   - referential: LEFT ANTI join on the key; broadcast under the
+  *   - referential: presence LEFT join (violations fuse it into the row
+  *     pass; verdicts flag on the null side); broadcast under the
   *     threshold, else sort-merge.
+  *
+  * Violations plan shape (round-4): ONE wide scan. Row-check structs and
+  * ref-presence structs are computed in a single fused pass over the input
+  * (row checks + presence left-joins + one explode); only the uniqueness
+  * aggregate reads the input again, and that scan is column-pruned to
+  * (key, bucket) — at 100 TB the columnar IO of the second scan is a
+  * vanishing fraction of the wide pass. Catalyst does not dedupe common
+  * subtrees across union branches, so the previous one-branch-per-check
+  * shape re-scanned (and re-derived) the wide input 3-4x.
   */
 object CheckCompiler {
 
@@ -49,20 +59,44 @@ object CheckCompiler {
     val bkt = col(suite.bucketColumn)
     val scoped = scope.map(b => df.filter(bkt.isin(b: _*))).getOrElse(df)
 
-    val rowViol: Option[DataFrame] =
-      if (suite.rowChecks.isEmpty) None
+    // Fused per-row branch: row-check structs AND ref-presence structs from
+    // ONE pass over the wide input. Each ref check contributes a presence
+    // left-join against the (distinct) ref keys; a null right side means the
+    // key is absent — identical row set to the previous LEFT ANTI branch
+    // (NULL keys never match, so they surface as violations in both shapes)
+    // but without re-scanning the input once per ref table. Each struct
+    // carries its own id so ref violations keep reporting the checked
+    // column's value (which for a key-typed ref check is the suite key).
+    val perRow: Option[DataFrame] =
+      if (suite.rowChecks.isEmpty && suite.refChecks.isEmpty) None
       else Some {
-        val structs = suite.rowChecks.map { c =>
+        var cur = scoped
+        suite.refChecks.foreach { r =>
+          val refDf = suite.refs(r.refName)
+          val rk = refDf.select(col(refDf.columns.head).as(s"__refk_${r.name}"))
+            .distinct() // dup ref keys must not multiply probe rows
+          cur = cur.join(rk, cur(r.column) === col(s"__refk_${r.name}"), "left")
+        }
+        val rowStructs = suite.rowChecks.map { c =>
           when(c.failWhen,
             struct(
+              key.as("id"),
               lit(c.name).as("check_name"),
               lit(c.column).as("column_name"),
               coalesce(c.detail, lit("")).as("detail")))
         }
-        scoped.select(key.as("clip_id"), bkt.as("bucket"),
-            explode(array_compact(array(structs: _*))).as("v"))
-          .select(col("clip_id"), col("v.check_name"), col("v.column_name"),
-            col("v.detail"), col("bucket"))
+        val refStructs = suite.refChecks.map { r =>
+          when(col(s"__refk_${r.name}").isNull,
+            struct(
+              col(r.column).as("id"),
+              lit(r.name).as("check_name"),
+              lit(r.column).as("column_name"),
+              lit("missing_ref").as("detail")))
+        }
+        cur.select(bkt.as("bucket"),
+            explode(array_compact(array((rowStructs ++ refStructs): _*))).as("v"))
+          .select(col("v.id").as("clip_id"), col("v.check_name"),
+            col("v.column_name"), col("v.detail"), col("bucket"))
       }
 
     val uniqViol: Seq[DataFrame] = suite.uniqueChecks.map { u =>
@@ -81,18 +115,7 @@ object CheckCompiler {
           col("__owner").as("bucket"))
     }
 
-    val refViol: Seq[DataFrame] = suite.refChecks.map { r =>
-      val refDf = suite.refs(r.refName)
-      scoped.join(refDf, scoped(r.column) === refDf(refDf.columns.head), "left_anti")
-        .select(
-          col(r.column).as("clip_id"),
-          lit(r.name).as("check_name"),
-          lit(r.column).as("column_name"),
-          lit("missing_ref").as("detail"),
-          bkt.as("bucket"))
-    }
-
-    val parts = rowViol.toSeq ++ uniqViol ++ refViol
+    val parts = perRow.toSeq ++ uniqViol
     parts.reduceOption(_.unionByName(_)).getOrElse {
       // suite with no checks -> empty result with the violation schema
       val spark = df.sparkSession
@@ -145,7 +168,7 @@ object CheckCompiler {
           cur(u.column) <=> dupKeys(s"__dup_key_${u.column}"), "left")
         .withColumn(s"__dup_${u.column}",
           coalesce(col(s"__dup_hit_${u.column}"), lit(false)))
-        .drop(s"__dup_key_${u.column}")
+        .drop(s"__dup_key_${u.column}", s"__dup_hit_${u.column}")
     }
     suite.refChecks.foreach { r =>
       // distinct BEFORE the presence join: a ref table with duplicate keys

@@ -87,7 +87,23 @@ object Dedup {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // global document frequency -> the canonical token order (df asc, tok)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val ordered = toks.join(dfreq, "tok")
+    // EXPLICIT two-phase salting on the df-annotation join: keying it on
+    // raw `tok` alone would funnel every occurrence of a hot stopword
+    // ('the' appears in nearly all docs) into one reducer — and AQE's
+    // skew-split structurally cannot rescue this join, because the dfreq
+    // side is a direct aggregate output (no ShuffleQueryStage for
+    // OptimizeSkewedJoin to replicate partitions from). Salting on
+    // (tok, doc_id % S) spreads the hot token across S reducers at the
+    // cost of S small replicas of the per-token df rows — the codecCounts
+    // pattern, deterministic and broadcast-free (the raw-token vocabulary
+    // at 100 TB is far past any broadcast cap). DedupSpec asserts the
+    // no-hot-spot property on a 10^5-occurrence stopword via task metrics.
+    val S = 16
+    val salts = spark.range(0, S).select(col("id").cast("int").as("__salt"))
+    val dfreqS = dfreq.crossJoin(broadcast(salts))
+    val ordered = toks.withColumn("__salt", pmod(col("doc_id"), lit(S)).cast("int"))
+      .join(dfreqS, Seq("tok", "__salt"))
+      .drop("__salt")
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
       .join(sizes, "doc_id")
@@ -203,8 +219,13 @@ object Dedup {
     val withSh = cand
       .join(shs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(shs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-    val verify = udf((a: Seq[Long], b: Seq[Long]) => exactJaccard(a.toArray, b.toArray))
-    val result = withSh.withColumn("jaccard", verify(col("sh_a"), col("sh_b")))
+    // exact-Jaccard verification with codegen'd built-ins (no UDF boxing in
+    // the verify stage): array_intersect/array_union are set-semantic, same
+    // as exactJaccard's toSet; both-empty shingle sets define jaccard = 1
+    val uni = size(array_union(col("sh_a"), col("sh_b")))
+    val jac = when(uni === 0, lit(1.0)).otherwise(
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") / uni)
+    val result = withSh.withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     materializeAndRelease(result, sigs)

@@ -110,21 +110,24 @@ object Runner {
     // the Iceberg binding would replace this with snapshot commits.
     val batchId = todo.mkString("-").hashCode.toHexString
     val dyn = Map("partitionOverwriteMode" -> "dynamic")
-    val violations = CheckCompiler.violationsWithBucket(repart, suite, Some(todo))
-    violations.write.mode("overwrite").options(dyn)
-      .partitionBy("bucket").parquet(s"$outDir/violations")
+    // unpersist in finally: a throw from either write or the collect must
+    // not leak the cached narrow frame for the rest of the session
+    val results = try {
+      val violations = CheckCompiler.violationsWithBucket(repart, suite, Some(todo))
+      violations.write.mode("overwrite").options(dyn)
+        .partitionBy("bucket").parquet(s"$outDir/violations")
 
-    val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo))
-    verdicts.write.mode("overwrite").options(dyn)
-      .partitionBy("bucket").parquet(s"$outDir/verdicts")
+      val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo))
+      verdicts.write.mode("overwrite").options(dyn)
+        .partitionBy("bucket").parquet(s"$outDir/verdicts")
 
-    // durable results exist for every bucket in this batch -> commit ONE
-    // atomic manifest for the whole batch (temp + rename). All-or-nothing:
-    // a crash mid-write leaves the batch unmanifested, so the retry reuses
-    // the same todo set / batchId and overwrites the same output dirs.
-    val results = verdicts.collect().map(r =>
-      BucketResult(r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-    repart.unpersist(false) // all three consumers (2 writes + collect) done
+      // durable results exist for every bucket in this batch -> commit ONE
+      // atomic manifest for the whole batch (temp + rename). All-or-nothing:
+      // a crash mid-write leaves the batch unmanifested, so the retry reuses
+      // the same todo set / batchId and overwrites the same output dirs.
+      verdicts.collect().map(r =>
+        BucketResult(r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    } finally repart.unpersist(false) // 2 writes + collect done (or failed)
     val wallMs = (System.nanoTime() - t0) / 1000000
     val byBucket = results.map(r => r.bucket -> r).toMap
     val entries = todo.map { b =>

@@ -93,4 +93,41 @@ object StreamingValidation {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_rows"), col("n_invalid"))
+
+  private val sinkId = new java.util.concurrent.atomic.AtomicInteger()
+
+  /** Driver-level oracle surface for the streaming path (st_windowed): run
+    * [[windowedVerdicts]] to COMPLETION over the events files
+    * (Trigger.AvailableNow) into a memory sink and return the sink table —
+    * the streaming engine's answer for the full input, row-comparable to a
+    * DuckDB replay of the same hourly windows. Complete output mode so
+    * every window is emitted (append mode would hold back windows the
+    * final watermark has not passed — the last 2 event-time hours). Hour
+    * ids are epoch-derived longs (the ev_hourly convention) so Spark and
+    * DuckDB agree with no timestamp-type coupling. */
+  def windowedVerdictsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nm = s"st_windowed_${sinkId.incrementAndGet()}"
+    val q = windowedVerdicts(spark, sfDir)
+      .select(
+        floor(unix_timestamp(col("window_start")) / 3600).cast("long").as("hour_id"),
+        col("event_type"), col("n_rows"), col("n_invalid"))
+      .writeStream.format("memory").queryName(nm)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(nm)
+  }
+
+  /** DuckDB replay of [[windowedVerdictsBatch]]: the ev_hourly window rule
+    * plus jr_valid's malformation-class validity rule (only the untouched
+    * event_id%5=4 class can be strictly valid). */
+  val oracles: Map[String, String] = Map(
+    "st_windowed" ->
+      """SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN NOT (event_id % 5 = 4 AND json_valid(props)) THEN 1 END) AS n_invalid
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

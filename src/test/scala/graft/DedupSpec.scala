@@ -162,6 +162,97 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.2, s"ivf recall $recall") // random vectors: cells are weak but non-trivial
   }
 
+  test("tokenJaccard survives a 10^5-occurrence stopword: salted dfreq join, no hot task") {
+    import org.apache.spark.sql.functions._
+    // 100,000 docs all sharing the stopword 'the' (plus a unique token
+    // each), and 20 planted exact-duplicate pairs. Keying the
+    // df-annotation join on raw `tok` would funnel all 100,040 'the'
+    // occurrences into ONE reducer (and AQE skew-split structurally cannot
+    // rescue it: the dfreq side is a direct aggregate output, not a
+    // ShuffleQueryStage). The salted join must spread them ~evenly; task
+    // metrics prove no single task reads the hot token's full row set.
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    def dupFrame(off: Long) = spark.range(0, 20).select(
+      (col("id") + off).as("doc_id"),
+      concat(lit("the dupa"), col("id"), lit(" dupb"), col("id"),
+        lit(" dupc"), col("id")).as("text"),
+      lit("en").as("lang"), lit("synth").as("source"))
+    spark.range(0, 100000).select(
+        col("id").as("doc_id"),
+        concat(lit("the filler"), col("id")).as("text"),
+        lit("en").as("lang"), lit("synth").as("source"))
+      .unionByName(dupFrame(200000)).unionByName(dupFrame(300000))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // per-stage shuffle-read records per task: a hot spot is IMBALANCE
+    // within a stage (one reducer task reading the hot token's whole row
+    // set while its siblings idle), not absolute volume — AQE legitimately
+    // coalesces many small partitions into fewer, bigger tasks
+    val stageReads = new java.util.concurrent.ConcurrentHashMap[Int,
+      java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]]()
+    val taskListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null && m.shuffleReadMetrics != null)
+          stageReads.computeIfAbsent(e.stageId,
+            _ => new java.util.concurrent.CopyOnWriteArrayList[java.lang.Long]())
+            .add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    val confKeys = Seq(
+      "spark.sql.shuffle.partitions",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    spark.sparkContext.addSparkListener(taskListener)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "16")
+      // -1 disables auto-broadcast: at 100 TB the raw-token vocabulary is
+      // far past any broadcast cap, so the shuffled join is the plan under
+      // test (the explicit broadcast of the 16 salt rows still applies);
+      // small advisory size keeps AQE from coalescing the whole stage into
+      // one task, which would hide any imbalance from the metrics
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+
+      val result = Dedup.tokenJaccard(spark, dir, 0.8)
+      val got = result.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // correctness under skew: exactly the 20 planted duplicate pairs
+      val want = (0L until 20L).map(i => (200000L + i, 300000L + i, 1.0)).toSet
+      assert(got == want, s"diff: ${got.diff(want).take(3)} / ${want.diff(got).take(3)}")
+
+      // listener events drain asynchronously
+      val deadline = System.currentTimeMillis() + 10000
+      while (stageReads.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(1000)
+      import scala.jdk.CollectionConverters._
+      val heavy = stageReads.asScala.toSeq.map { case (sid, l) =>
+        val xs = l.asScala.map(_.longValue).toSeq
+        (sid, xs.size, xs.sum, xs.max)
+      }.filter { case (_, n, sum, _) => n >= 4 && sum >= 150000 }
+      assert(heavy.nonEmpty, s"no heavy multi-task shuffle stage captured: ${stageReads.asScala.toMap}")
+      heavy.foreach { case (sid, n, sum, max) =>
+        val mean = sum.toDouble / n
+        info(f"stage $sid: $n tasks, $sum records, max $max, mean $mean%.0f")
+        // unsalted, the hot token put its full 100,040-row set in ONE task
+        // of the tok join stage (max/mean >> 4); salted, every heavy stage
+        // must be balanced
+        assert(max <= 4 * mean,
+          f"stage $sid skewed: max task read $max of $sum total (mean $mean%.0f)")
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(taskListener)
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+
   test("text fingerprint: expression output equals scala reference") {
     val got = TextQueries.fingerprints(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

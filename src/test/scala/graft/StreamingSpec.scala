@@ -72,4 +72,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == batch,
       s"diff: ${last.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(last.toSet).take(3)}")
   }
+
+  test("st_windowed (driver-oracle surface) equals the full batch aggregation") {
+    // the run-to-completion surface uses Trigger.AvailableNow + complete
+    // mode, so EVERY window must be present (unlike the append-mode test
+    // above, which only sees watermark-closed windows)
+    val got = StreamingValidation.windowedVerdictsBatch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    val m = col("event_id") % 5
+    val malformed = when(m === 0, rtrim(col("props"), "}"))
+      .when(m === 1, replace(col("props"), lit("\""), lit("'")))
+      .when(m === 2, concat(lit("```json\n"), col("props"), lit("\n```")))
+      .when(m === 3, replace(col("props"), lit("}"), lit(",}")))
+      .otherwise(col("props"))
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(
+        floor(unix_timestamp(col("ts").cast("timestamp")) / 3600).cast("long").as("hour_id"),
+        col("event_type"),
+        graft.functions.JsonRepairFunctions.jsonStrictValid(spark, malformed).as("valid"))
+      .groupBy("hour_id", "event_type")
+      .agg(count(lit(1)).as("n_rows"), count(when(!col("valid"), lit(1))).as("n_invalid"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+
+    assert(got.nonEmpty && got == batch,
+      s"diff: ${got.diff(batch).take(3)} / ${batch.diff(got).take(3)}")
+  }
 }
