@@ -50,7 +50,9 @@ object SparkEntry {
     // Structured Streaming run to completion (round-4 ask: the streaming
     // path enters the driver CORRECTNESS gate, not just StreamingSpec)
     "st_windowed" -> ((s, d) =>
-      graft.streaming.StreamingValidation.windowedVerdictsBatch(s, d))
+      graft.streaming.StreamingValidation.windowedVerdictsBatch(s, d)),
+    "st_lww" -> ((s, d) =>
+      graft.streaming.StreamingValidation.lwwDedupBatch(s, d))
   )
 
   def oracleSql: Map[String, String] =

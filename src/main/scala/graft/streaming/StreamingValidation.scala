@@ -120,14 +120,38 @@ object StreamingValidation {
     spark.table(nm)
   }
 
-  /** DuckDB replay of [[windowedVerdictsBatch]]: the ev_hourly window rule
-    * plus jr_valid's malformation-class validity rule (only the untouched
-    * event_id%5=4 class can be strictly valid). */
+  /** Driver-oracle surface for the stateful LWW dedup stream (st_lww): run
+    * [[lwwDedupStream]] to completion and reduce the update-mode emission
+    * log to its CONVERGED state — the last (= max, since the state cell is
+    * monotone) kept_event_id per key, which must equal the batch
+    * max(event_id) per user_id. This puts the flatMapGroupsWithState
+    * custom-state path under the driver's DuckDB gate, not just ScalaTest. */
+  def lwwDedupBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nm = s"st_lww_${sinkId.incrementAndGet()}"
+    val q = lwwDedupStream(spark, sfDir)
+      .writeStream.format("memory").queryName(nm)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(nm)
+      .groupBy("user_id")
+      .agg(max(col("kept_event_id")).as("kept_event_id"))
+  }
+
+  /** DuckDB replays: st_windowed = the ev_hourly window rule plus
+    * jr_valid's malformation-class validity rule (only the untouched
+    * event_id%5=4 class can be strictly valid); st_lww = converged
+    * last-write-wins state per key. */
   val oracles: Map[String, String] = Map(
     "st_windowed" ->
       """SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
         |  count(*) AS n_rows,
         |  count(CASE WHEN NOT (event_id % 5 = 4 AND json_valid(props)) THEN 1 END) AS n_invalid
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st_lww" ->
+      """SELECT user_id, max(event_id) AS kept_event_id
+        |FROM events GROUP BY user_id""".stripMargin
   )
 }
