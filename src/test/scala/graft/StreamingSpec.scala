@@ -73,6 +73,16 @@ class StreamingSpec extends AnyFunSuite {
       s"diff: ${last.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(last.toSet).take(3)}")
   }
 
+  test("st_lww (driver-oracle surface) converges to the batch max per key") {
+    val got = StreamingValidation.lwwDedupBatch(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+      .groupBy("user_id").agg(max("event_id").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch,
+      s"diff: ${got.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(got.toSet).take(3)}")
+  }
+
   test("st_windowed (driver-oracle surface) equals the full batch aggregation") {
     // the run-to-completion surface uses Trigger.AvailableNow + complete
     // mode, so EVERY window must be present (unlike the append-mode test
