@@ -81,9 +81,39 @@ object Dedup {
     * only for surviving candidate pairs. */
   def tokenJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     val d = docs(spark, sfDir)
-    val toks = d.select(col("doc_id"), col("lang"), col("n_chars"),
-        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok"))
-      .persist()
+    setJaccardPairs(spark,
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok")),
+      threshold)
+  }
+
+  /** Near-duplicate pairs by CHARACTER-3-GRAM set Jaccard — the n-gram
+    * member of the dedup family. Identical lossless ppjoin prefix-filter +
+    * salted df-annotation core as [[tokenJaccard]]; only the tokenizer
+    * differs. Character shingles catch near-dups whitespace tokens miss
+    * (joined/reordered words, missing spaces); texts shorter than 3 chars
+    * contribute themselves as their single gram. Default threshold 0.5:
+    * character-gram similarity runs lower than token similarity for the
+    * same edit distance (each word edit perturbs ~3 grams), and the
+    * corpus's planted near-dup pairs sit at char-3-gram J ~ 0.55-0.65 vs
+    * token J ~ 0.8+. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    val d = docs(spark, sfDir)
+    setJaccardPairs(spark,
+      d.select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
+            " i -> substr(text, i, 3)))")).as("tok")),
+      threshold)
+  }
+
+  /** Shared set-Jaccard core over a tokenized frame (doc_id, lang, n_chars,
+    * tok): blocking on (lang, n_chars), lossless ppjoin prefix filter on
+    * the globally-rarest tokens, salted document-frequency annotation,
+    * exact intersection only for surviving candidates. */
+  private def setJaccardPairs(spark: SparkSession, toksIn: DataFrame,
+      threshold: Double): DataFrame = {
+    val toks = toksIn.persist()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // global document frequency -> the canonical token order (df asc, tok)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))

@@ -66,6 +66,25 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("ngramJaccard: pairs meet the threshold and match a local char-3-gram reference") {
+    val rows = Dedup.ngramJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(2) >= 0.5))
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+    assert(pairs.forall(p => p._1 < p._2))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      if (t.length < 3) Set(t) else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+    rows.foreach { r =>
+      val (a, b) = (grams(docs(r.getLong(0))), grams(docs(r.getLong(1))))
+      val j = a.intersect(b).size.toDouble / a.union(b).size
+      assert(math.abs(j - r.getDouble(2)) < 5e-5,
+        s"pair ${r.getLong(0)},${r.getLong(1)}: local $j vs engine ${r.getDouble(2)}")
+    }
+  }
+
   test("minhash clusters are consistent connected components of the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
