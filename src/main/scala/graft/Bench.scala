@@ -211,11 +211,13 @@ object Bench {
          |Launch modes: this protocol runs identically under
          |`spark-submit --class graft.Bench <jar>` (north-rule launch mode)
          |and sbt, and the two agree (round-2: 0.904 spark-submit vs 0.866
-         |sbt; round-3: 0.892 spark-submit vs 0.877 sbt, same session);
+         |sbt; round-3: 0.892 vs 0.877; round-4: 0.826 spark-submit vs
+         |0.812-0.905 across four sbt runs, same session);
          |`graft.SubmitPipeline` runs the single-level pipeline under
          |`spark-submit --master local[N]` for per-invocation evidence.
-         |Full-protocol measurements so far span 0.83-0.90 — all >= 0.8
-         |(see BASELINE.md for the protocol's derivation).
+         |Scaling-first full-protocol measurements span 0.81-0.91 — all
+         |>= 0.8 (see BASELINE.md for the protocol's derivation and the
+         |round-4 JVM-ordering hardening).
          |
          |Hardware control, same run: a pure-CPU StrictMath.sin loop (no Spark,
          |no allocation, no shared state) at the same two thread counts scales
