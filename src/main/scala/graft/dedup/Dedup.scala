@@ -96,7 +96,11 @@ object Dedup {
     * character-gram similarity runs lower than token similarity for the
     * same edit distance (each word edit perturbs ~3 grams), and the
     * corpus's planted near-dup pairs sit at char-3-gram J ~ 0.55-0.65 vs
-    * token J ~ 0.8+. */
+    * token J ~ 0.8+. Cost note: gram volume is ~n_chars rows per doc
+    * (~6x the token count), so this is intrinsically the heaviest dedup
+    * query per input byte — but the candidate stage stays tight (measured
+    * sf0.1: 6,303 candidates for 3,279 final pairs; the exact n_chars
+    * blocking plus the rarest-gram prefix does the pruning). */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
     val d = docs(spark, sfDir)
     setJaccardPairs(spark,

@@ -104,7 +104,13 @@ object StreamingValidation {
     * every window is emitted (append mode would hold back windows the
     * final watermark has not passed — the last 2 event-time hours). Hour
     * ids are epoch-derived longs (the ev_hourly convention) so Spark and
-    * DuckDB agree with no timestamp-type coupling. */
+    * DuckDB agree with no timestamp-type coupling.
+    *
+    * Scale note: the memory sink is the ORACLE surface only — its size is
+    * the windowed aggregate (hours x event types), not the event stream.
+    * A production deployment points the same [[windowedVerdicts]] frame at
+    * a parquet/Kafka sink with append mode and lets the watermark expire
+    * state; nothing in the transform changes. */
   def windowedVerdictsBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val nm = s"st_windowed_${sinkId.incrementAndGet()}"
@@ -125,7 +131,10 @@ object StreamingValidation {
     * log to its CONVERGED state — the last (= max, since the state cell is
     * monotone) kept_event_id per key, which must equal the batch
     * max(event_id) per user_id. This puts the flatMapGroupsWithState
-    * custom-state path under the driver's DuckDB gate, not just ScalaTest. */
+    * custom-state path under the driver's DuckDB gate, not just ScalaTest.
+    * (Oracle surface only: the update-mode emission log is keyspace-sized —
+    * production writes the raw [[lwwDedupStream]] emissions to a keyed
+    * sink and never aggregates them in one place.) */
   def lwwDedupBatch(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val nm = s"st_lww_${sinkId.incrementAndGet()}"

@@ -85,6 +85,35 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash verify stage is codegen'd: no UDF in any executed plan") {
+    // round-4: the exact-Jaccard verification uses array_intersect/
+    // array_union built-ins — the plan of the verify stage must show them
+    // inside a WholeStageCodegen region (the "*(n)" prefix), and no scala
+    // UDF node may appear anywhere in the pipeline
+    val plans = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Dedup.minhashLsh(spark, sfDir).collect()
+      val deadline = System.currentTimeMillis() + 15000
+      while (!plans.toArray.exists(_.toString.contains("array_intersect")) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val all = plans.toArray.map(_.toString)
+      val verify = all.filter(_.contains("array_intersect"))
+      assert(verify.nonEmpty, "no executed plan contains the jaccard verify expressions")
+      assert(verify.exists(_.linesIterator.exists(ln =>
+          ln.contains("array_intersect") && ln.trim.matches("""^[:+\-\s]*\*\(\d+\).*"""))),
+        s"verify expressions not inside WholeStageCodegen:\n${verify.head}")
+      all.foreach(p => assert(!p.contains("UDF("), s"scala UDF in plan:\n$p"))
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("minhash clusters are consistent connected components of the pair graph") {
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
