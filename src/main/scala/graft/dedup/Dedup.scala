@@ -265,6 +265,21 @@ object Dedup {
     materializeAndRelease(result, sigs)
   }
 
+  /** Cross-split near-duplicate CONTAMINATION: verified MinHash near-dup
+    * pairs that straddle an ID-BASED train/test boundary (test =
+    * doc_id % 10 == 0) — the leakage an id/positional split admits and
+    * that the content-hash split ([[graft.text.TextQueries.splitAssign]]) plus
+    * canonical-doc dedup ([[minhashClusters]]) exist to prevent. Emits the
+    * leaked pair, its jaccard, and which doc sits in the test split. */
+  def contamination(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
+    val testA = col("id_a") % 10 === 0
+    val testB = col("id_b") % 10 === 0
+    minhashLsh(spark, sfDir, threshold)
+      .filter(testA =!= testB)
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        when(testA, col("id_a")).otherwise(col("id_b")).as("test_doc"))
+  }
+
   /** Near-duplicate CLUSTERS: connected components over the verified
     * MinHash-LSH pair graph, keyed by the component's minimum doc_id — the
     * step a dedup pipeline actually keeps ("one canonical doc per cluster").

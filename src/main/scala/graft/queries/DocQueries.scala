@@ -24,6 +24,8 @@ object DocQueries {
     "ann_lsh_recall" -> ((s, d) => Ann.lshRecall(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "dd_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
+    "dd_contaminate" -> ((s, d) => Dedup.contamination(s, d)),
+    "ta_split" -> ((s, d) => TextQueries.splitAssign(s, d)),
     "dd_embed_cluster" -> ((s, d) => Ann.cosineClusters(s, d)),
     "ta_tokens" -> ((s, d) => TextQueries.tokens(s, d)),
     "ta_quality" -> ((s, d) => TextQueries.quality(s, d)),
@@ -115,6 +117,14 @@ object DocQueries {
     "dd_minhash" ->
       s"""WITH $MinhashPairCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs""".stripMargin,
+    // near-dup pairs straddling the id-based test boundary (doc_id%10=0):
+    // the train/test leakage an id split admits — same verified pair
+    // ground truth as dd_minhash
+    "dd_contaminate" ->
+      s"""WITH $MinhashPairCtes
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard,
+         |  CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS test_doc
+         |FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)""".stripMargin,
     // connected components over the same verified pair graph: the oracle
     // replays the clustering as a recursive transitive closure and labels
     // each doc with the minimum reachable doc_id

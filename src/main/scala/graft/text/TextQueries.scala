@@ -99,9 +99,40 @@ object TextQueries {
       (lenOk && stopOk && cptOk).as("keep"))
   }
 
+  /** Deterministic content-hash train/val/test split (90/5/5) — THE split
+    * a training pipeline wants: the bucket is a pure function of the text
+    * (rolling fingerprint mod 100), so byte-identical documents always
+    * land in the same split and exact duplicates can never straddle
+    * train/test. Contrast with an id- or position-based split, whose
+    * near-dup leakage [[graft.dedup.Dedup.contamination]] measures. */
+  def splitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = pmod(TextFingerprint(spark, col("text")), lit(100L))
+    docs(spark, sfDir).select(
+      col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val")
+        .otherwise("test").as("split"))
+  }
+
   private val D = "documents"
 
   val oracles: Map[String, String] = Map(
+    // the ta_fingerprint fold, bucketed: pmod(fp, 100) in Spark =
+    // ((fp % 100) + 100) % 100 over the re-signed BIGINT in DuckDB
+    "ta_split" ->
+      s"""SELECT doc_id, b AS bucket,
+         |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, ((fp % 100) + 100) % 100 AS b FROM (
+         |    SELECT doc_id,
+         |      CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
+         |                ELSE fp_u END AS BIGINT) AS fp
+         |    FROM (
+         |      SELECT doc_id, list_reduce(
+         |        list_prepend(CAST(0 AS HUGEINT),
+         |          [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
+         |        (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
+         |      FROM $D)))""".stripMargin,
     // the rolling hash fp(s) = sum_i s[i]*31^i mod 2^64 re-expressed as a
     // left fold over the reversed string (Horner), in HUGEINT with an
     // explicit mod-2^64 per step, then re-signed to match Spark's LongType

@@ -301,6 +301,27 @@ class DedupSpec extends AnyFunSuite {
   }
 
 
+  test("splitAssign: content-hash split is deterministic, proportioned, text-pure") {
+    val rows = TextQueries.splitAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    // 90/5/5 by bucket; uniform-ish fingerprints put train in a wide band
+    assert(bySplit("train") > 400, s"split sizes: $bySplit")
+    assert(bySplit.getOrElse("val", 0) + bySplit.getOrElse("test", 0) < 100)
+    // the bucket is a PURE function of the text (the no-leakage property):
+    // recompute per doc from the scala reference fingerprint
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, bucket, split) =>
+      val b = java.lang.Math.floorMod(TextFingerprint.fingerprint(docs(id)), 100L)
+      assert(bucket == b, s"doc $id bucket $bucket != local $b")
+      val want = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(split == want)
+    }
+  }
+
   test("text fingerprint: expression output equals scala reference") {
     val got = TextQueries.fingerprints(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
