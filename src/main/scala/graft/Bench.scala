@@ -34,7 +34,8 @@ object Bench {
     * bare parquet scan — verified round-3: the optimized count plans of
     * jr_repair and ta_fingerprint contained no repair/fingerprint
     * expression at all. The noop DSv2 sink consumes EVERY output column
-    * (plan retention is asserted in BenchActionSpec) while writing nothing. */
+    * (plan retention is asserted in EngineSpec's bench-action test) while
+    * writing nothing. */
   private def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
@@ -59,6 +60,24 @@ object Bench {
     var spark: SparkSession = null
     def perQuerySweep(): Seq[(String, Double)] = {
       spark = newSession(cpus)
+      // the au_* family reads a shared materialized `measured`
+      // (AudioQueries.measuredShared — one synth pass, four consumers, the
+      // 100 TB shape). Build it FIRST, timed, and report the cost as its
+      // own "au_materialize" entry: built inside the sweep it would land
+      // on whichever au_* query ran first in pass 1 and min-of-2 would
+      // silently drop it; built after the warmup it would be a cache hit
+      // whenever sfDir equals the warmup dir (smoke runs) and report a
+      // vacuous near-zero. A failure here must not abort the sweep — the
+      // au_* queries then fail individually and record NaN.
+      val tMat = System.nanoTime()
+      val auMaterialize =
+        try {
+          graft.audio.AudioQueries.measuredShared(spark, sfDir).count()
+          Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] au_materialize failed: ${e.getMessage}")
+          Seq.empty
+        }
       val warmSf = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (name, fn) =>
         try force(fn(spark, warmSf))
@@ -70,15 +89,6 @@ object Bench {
       // the slow window move between queries), so a single-pass number can
       // be 5-7x off for whichever queries the dip lands on. Same hedge the
       // scaling section uses (interleaved min-of-3).
-      // the au_* family reads a shared materialized `measured`
-      // (AudioQueries.measuredShared — one synth pass, four consumers, the
-      // 100 TB shape). Build it HERE, timed, and report the cost as its own
-      // "au_materialize" entry: otherwise it would land on whichever au_*
-      // query ran first in pass 1 and min-of-2 would silently drop it.
-      val tMat = System.nanoTime()
-      graft.audio.AudioQueries.measuredShared(spark, sfDir).count()
-      val auMaterialize = "au_materialize" -> (System.nanoTime() - tMat) / 1e9
-
       val passes = (1 to 2).map { _ =>
         SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
@@ -98,7 +108,7 @@ object Bench {
         }
       }
       spark.stop()
-      (passes.flatten :+ auMaterialize).groupBy(_._1).toSeq.sortBy(_._1)
+      (passes.flatten ++ auMaterialize).groupBy(_._1).toSeq.sortBy(_._1)
         .flatMap { case (name, ts) =>
           val ok = ts.map(_._2).filterNot(_.isNaN)
           if (ok.isEmpty) {

@@ -33,9 +33,10 @@ object TDigest {
     * input row (O(cap^2) copying + 2 garbage arrays per row in the hottest
     * aggregation loop). Buffered entries always have weight 1.0, so no
     * parallel weight buffer is needed. The Aggregator reduce contract
-    * allows mutating and returning the buffer, and compress hands the
-    * scratch array back (cursor reset) so steady state allocates nothing
-    * per row but the 5-field case-class shell. */
+    * allows mutating and returning the buffer; the scratch is re-allocated
+    * once per compress cycle (512 rows — compress drops it to keep the
+    * serialized buffer lean), so steady state allocates nothing per row
+    * but the 5-field case-class shell. */
   def add(b0: TDigestBuf, x: Double): TDigestBuf = {
     val b = if (b0.bufLen >= BufferCap) compress(b0) else b0
     val buf = if (b.buf.length >= BufferCap) b.buf else new Array[Double](BufferCap)
@@ -88,8 +89,12 @@ object TDigest {
       i += 1
     }
     outM += curM; outW += curW
-    // scratch array handed back (cursor reset) for allocation-free reuse
-    TDigestBuf(b.compression, outM.result(), outW.result(), b.buf, 0)
+    // the scratch array is DROPPED, not handed back: the product encoder
+    // serializes `buf` in full, so keeping the 512-slot array would ship
+    // ~4KB of dead tail per group through every partial-agg exchange and
+    // spill. add() re-allocates the scratch lazily — once per 512 rows,
+    // amortized noise
+    TDigestBuf(b.compression, outM.result(), outW.result(), Array.empty, 0)
   }
 
   /** Quantile estimate with linear interpolation between centroid means. */

@@ -102,8 +102,22 @@ object AudioQueries {
     * session in this JVM) scan it. Parquet, not .persist(): survives
     * session-owner clearCache() between queries, spills to disk by
     * construction, and is exactly the "materialize `measured` once" shape
-    * a production pipeline would write as a table. */
+    * a production pipeline would write as a table. Assumes the input
+    * parquet at `sfDir` is immutable for the JVM lifetime (true for the
+    * driver-generated test data; a production pipeline would key the
+    * materialized table on the input snapshot id instead). Temp dirs are
+    * removed by a shutdown hook. */
   private val sharedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      sharedDirs.values.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+  }
   def measuredShared(spark: SparkSession, sfDir: String): Dataset[ClipMeasure] = {
     import spark.implicits._
     val dir = sharedDirs.computeIfAbsent(sfDir, _ => {

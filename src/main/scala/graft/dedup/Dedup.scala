@@ -84,7 +84,7 @@ object Dedup {
     setJaccardPairs(spark,
       d.select(col("doc_id"), col("lang"), col("n_chars"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("tok")),
-      threshold)
+      threshold, blockCols = Seq("lang", "n_chars"))
   }
 
   /** Near-duplicate pairs by CHARACTER-3-GRAM set Jaccard — the n-gram
@@ -92,31 +92,36 @@ object Dedup {
     * salted df-annotation core as [[tokenJaccard]]; only the tokenizer
     * differs. Character shingles catch near-dups whitespace tokens miss
     * (joined/reordered words, missing spaces); texts shorter than 3 chars
-    * contribute themselves as their single gram. Default threshold 0.5:
-    * character-gram similarity runs lower than token similarity for the
-    * same edit distance (each word edit perturbs ~3 grams), and the
-    * corpus's planted near-dup pairs sit at char-3-gram J ~ 0.55-0.65 vs
-    * token J ~ 0.8+. Cost note: gram volume is ~n_chars rows per doc
-    * (~6x the token count), so this is intrinsically the heaviest dedup
-    * query per input byte — but the candidate stage stays tight (measured
-    * sf0.1: 6,303 candidates for 3,279 final pairs; the exact n_chars
-    * blocking plus the rarest-gram prefix does the pruning). */
-  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.5): DataFrame = {
+    * contribute themselves as their single gram. Blocking is LANG ONLY —
+    * exact n_chars equality (the token query's block) would structurally
+    * exclude the missing-space / joined-word near-dups this query exists
+    * to catch (their lengths differ); the rarest-gram prefix filter plus
+    * the lossless size-ratio bound (J >= t forces |A|/|B| within
+    * [t, 1/t]) keep candidates tight without it. Threshold 0.8: the
+    * corpus's cross-length char-3-gram distribution is cleanly bimodal —
+    * genuine near-dups at J >= 0.98, then a gap down to ~0.70 where the
+    * SAME-LANGUAGE background (shared common trigrams of ordinary text)
+    * begins; a lower cut such as 0.5 matches "same language", not "near
+    * duplicate" (measured sf0.01: 6 pairs at 0.8 vs 12,462 at 0.5). Cost
+    * note: gram volume is ~n_chars rows per doc (~6x the token count), so
+    * this is intrinsically the heaviest dedup query per input byte. */
+  def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     val d = docs(spark, sfDir)
     setJaccardPairs(spark,
-      d.select(col("doc_id"), col("lang"), col("n_chars"),
+      d.select(col("doc_id"), col("lang"),
         explode(expr(
           "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
             " i -> substr(text, i, 3)))")).as("tok")),
-      threshold)
+      threshold, blockCols = Seq("lang"))
   }
 
-  /** Shared set-Jaccard core over a tokenized frame (doc_id, lang, n_chars,
-    * tok): blocking on (lang, n_chars), lossless ppjoin prefix filter on
-    * the globally-rarest tokens, salted document-frequency annotation,
-    * exact intersection only for surviving candidates. */
+  /** Shared set-Jaccard core over a tokenized frame (doc_id, blockCols...,
+    * tok): attribute blocking on `blockCols`, lossless ppjoin prefix
+    * filter on the globally-rarest tokens, salted document-frequency
+    * annotation, a lossless size-ratio candidate bound, and exact
+    * intersection only for surviving candidates. */
   private def setJaccardPairs(spark: SparkSession, toksIn: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, blockCols: Seq[String]): DataFrame = {
     val toks = toksIn.persist()
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // global document frequency -> the canonical token order (df asc, tok)
@@ -141,24 +146,32 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
       .join(sizes, "doc_id")
+    val keep = Seq(col("doc_id")) ++ blockCols.map(col) :+ col("tok")
     val prefix = ordered
       .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("lang"), col("n_chars"), col("tok"))
-    val pa = prefix.select(col("doc_id").as("id_a"), col("lang"), col("n_chars"), col("tok"))
-    val pb = prefix.select(col("doc_id").as("id_b"), col("lang"), col("n_chars"), col("tok"))
-    val cand = pa.join(pb, Seq("tok", "lang", "n_chars"))
+      .select(keep: _*)
+    val pa = prefix.withColumnRenamed("doc_id", "id_a")
+    val pb = prefix.withColumnRenamed("doc_id", "id_b")
+    val cand = pa.join(pb, "tok" +: blockCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
+    // lossless size-ratio bound BEFORE the intersection: J >= t implies
+    // |B|/|A| in [t, 1/t] (i <= min and a+b-i >= max), so cross-size
+    // candidates are pruned without computing their overlap
+    val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
+    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
+    val candSized = cand.join(sa, "id_a").join(sb, "id_b")
+      .filter(least(col("sz_a"), col("sz_b")) >=
+        lit(threshold) * greatest(col("sz_a"), col("sz_b")))
     // exact intersection only for candidates: two bounded-key joins
     val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
     val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
-    val inter = cand.join(ta, "id_a").join(tb, Seq("id_b", "tok"))
+    val inter = candSized.select("id_a", "id_b")
+      .join(ta, "id_a").join(tb, Seq("id_b", "tok"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
-    val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    val result = inter.join(sa, "id_a").join(sb, "id_b")
+    val result = inter.join(candSized, Seq("id_a", "id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -81,16 +81,18 @@ object DocQueries {
         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
     // character-3-gram replay: DuckDB range(a,b) is [a,b) — positions
     // 1..len-2 = range(1, len-1); greatest(...,2) mirrors the Spark side's
-    // whole-short-text single gram (substr past len clamps identically)
+    // whole-short-text single gram (substr past len clamps identically).
+    // Blocking is lang only (NOT n_chars): the missing-space near-dups the
+    // query targets differ in length
     "dd_ngram" ->
       """WITH g AS (
-        |  SELECT DISTINCT doc_id, lang, n_chars, substr(text, i, 3) AS tok
+        |  SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS tok
         |  FROM documents, LATERAL (SELECT unnest(range(1, greatest(len(text) - 1, 2))) AS i) t
         |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
         |  FROM g a JOIN g b
-        |    ON a.tok = b.tok AND a.lang = b.lang AND a.n_chars = b.n_chars
+        |    ON a.tok = b.tok AND a.lang = b.lang
         |   AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2
         |)
@@ -98,7 +100,7 @@ object DocQueries {
         |FROM inter
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+        |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
     "dd_embed_cosine" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (

@@ -123,7 +123,19 @@ object StreamingValidation {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(nm)
+    detachSink(spark, nm)
+  }
+
+  /** Copy the (bounded — see the scale notes) sink contents into a local
+    * frame and DROP the memory-sink temp view: repeated invocations in one
+    * session (the Bench warmup + 2 passes) would otherwise accumulate
+    * sink tables that clearCache() does not release. */
+  private def detachSink(spark: SparkSession, nm: String): DataFrame = {
+    val t = spark.table(nm)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(t.collect(): _*), t.schema)
+    spark.catalog.dropTempView(nm)
+    out
   }
 
   /** Driver-oracle surface for the stateful LWW dedup stream (st_lww): run
@@ -144,9 +156,15 @@ object StreamingValidation {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(nm)
+    // reduce the emission log to converged state BEFORE detaching, so the
+    // collected local frame is keyspace-sized, not log-sized
+    val reduced = spark.table(nm)
       .groupBy("user_id")
       .agg(max(col("kept_event_id")).as("kept_event_id"))
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(reduced.collect(): _*), reduced.schema)
+    spark.catalog.dropTempView(nm)
+    out
   }
 
   /** DuckDB replays: st_windowed = the ev_hourly window rule plus

@@ -116,6 +116,20 @@ object TextQueries {
 
   private val D = "documents"
 
+  /** The rolling-fingerprint fold as a shared SQL fragment — yields
+    * (doc_id, fingerprint BIGINT); interpolated into BOTH ta_fingerprint
+    * and ta_split so the two oracles can never diverge. */
+  private val FingerprintSql: String =
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
+       |            ELSE fp_u END AS BIGINT) AS fingerprint
+       |FROM (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS HUGEINT),
+       |      [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
+       |    (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
+       |  FROM $D)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // the ta_fingerprint fold, bucketed: pmod(fp, 100) in Spark =
     // ((fp % 100) + 100) % 100 over the re-signed BIGINT in DuckDB
@@ -123,29 +137,12 @@ object TextQueries {
       s"""SELECT doc_id, b AS bucket,
          |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
          |FROM (
-         |  SELECT doc_id, ((fp % 100) + 100) % 100 AS b FROM (
-         |    SELECT doc_id,
-         |      CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
-         |                ELSE fp_u END AS BIGINT) AS fp
-         |    FROM (
-         |      SELECT doc_id, list_reduce(
-         |        list_prepend(CAST(0 AS HUGEINT),
-         |          [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
-         |        (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
-         |      FROM $D)))""".stripMargin,
+         |  SELECT doc_id, ((fingerprint % 100) + 100) % 100 AS b
+         |  FROM ($FingerprintSql))""".stripMargin,
     // the rolling hash fp(s) = sum_i s[i]*31^i mod 2^64 re-expressed as a
     // left fold over the reversed string (Horner), in HUGEINT with an
     // explicit mod-2^64 per step, then re-signed to match Spark's LongType
-    "ta_fingerprint" ->
-      s"""SELECT doc_id,
-         |  CAST(CASE WHEN fp_u >= 9223372036854775808 THEN fp_u - 18446744073709551616
-         |            ELSE fp_u END AS BIGINT) AS fingerprint
-         |FROM (
-         |  SELECT doc_id, list_reduce(
-         |    list_prepend(CAST(0 AS HUGEINT),
-         |      [CAST(unicode(x) AS HUGEINT) for x in regexp_split_to_array(reverse(text), '')]),
-         |    (h, c) -> (h * 31 + c) % 18446744073709551616) AS fp_u
-         |  FROM $D)""".stripMargin,
+    "ta_fingerprint" -> FingerprintSql,
     "ta_bpe" ->
       s"""SELECT doc_id,
          |  cast(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe_tokens

@@ -69,7 +69,7 @@ class DedupSpec extends AnyFunSuite {
   test("ngramJaccard: pairs meet the threshold and match a local char-3-gram reference") {
     val rows = Dedup.ngramJaccard(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getDouble(2) >= 0.5))
+    assert(rows.forall(_.getDouble(2) >= 0.8))
     val pairs = rows.map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.distinct.length == pairs.length)
     assert(pairs.forall(p => p._1 < p._2))

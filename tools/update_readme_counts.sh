@@ -12,6 +12,9 @@ if [ -z "$n" ] || [ "$fails" != "0" ]; then
   echo "test run not green ($out) — refusing to update README" >&2
   exit 1
 fi
-sed -i -E "s/\(sbt -batch test\` \([0-9]+ tests/(sbt -batch test\` ($n tests/" README.md
 sed -i -E "s/\`sbt -batch test\` \([0-9]+ tests/\`sbt -batch test\` ($n tests/" README.md
+if ! grep -q "\`sbt -batch test\` ($n tests" README.md; then
+  echo "README phrasing drifted — count NOT updated; fix the sed pattern" >&2
+  exit 1
+fi
 echo "README.md test count set to $n"
