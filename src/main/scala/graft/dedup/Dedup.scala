@@ -87,33 +87,69 @@ object Dedup {
       threshold, blockCols = Seq("lang", "n_chars"))
   }
 
-  /** Near-duplicate pairs by CHARACTER-3-GRAM set Jaccard — the n-gram
-    * member of the dedup family. Identical lossless ppjoin prefix-filter +
-    * salted df-annotation core as [[tokenJaccard]]; only the tokenizer
-    * differs. Character shingles catch near-dups whitespace tokens miss
-    * (joined/reordered words, missing spaces); texts shorter than 3 chars
-    * contribute themselves as their single gram. Blocking is LANG ONLY —
-    * exact n_chars equality (the token query's block) would structurally
-    * exclude the missing-space / joined-word near-dups this query exists
-    * to catch (their lengths differ); the rarest-gram prefix filter plus
-    * the lossless size-ratio bound (J >= t forces |A|/|B| within
-    * [t, 1/t]) keep candidates tight without it. Threshold 0.8: the
-    * corpus's cross-length char-3-gram distribution is cleanly bimodal —
-    * genuine near-dups at J >= 0.98, then a gap down to ~0.70 where the
-    * SAME-LANGUAGE background (shared common trigrams of ordinary text)
-    * begins; a lower cut such as 0.5 matches "same language", not "near
-    * duplicate" (measured sf0.01: 6 pairs at 0.8 vs 12,462 at 0.5). Cost
-    * note: gram volume is ~n_chars rows per doc (~6x the token count), so
-    * this is intrinsically the heaviest dedup query per input byte. */
+  /** Near-duplicate pairs by CHARACTER-5-GRAM set Jaccard — the n-gram
+    * member of the dedup family. Character shingles catch near-dups that
+    * whitespace tokens miss (joined/reordered words, missing spaces);
+    * texts shorter than 5 chars contribute themselves as their single
+    * gram. Gram width 5 (standard w-shingling territory), not 3: ordinary
+    * same-language text shares most TRIgrams, so 3-gram similarity
+    * separates poorly (measured sf0.01: background reaches J3 ~ 0.70;
+    * 5-grams put genuine near-dups at J >= 0.8 with ZERO background pairs
+    * above 0.5 at every test scale).
+    *
+    * Candidate generation is banded MinHash-LSH over the gram set, NOT
+    * the token query's ppjoin prefix filter: frequency-based prefix
+    * filtering needs a DIVERSE token space to be selective, and a char-
+    * gram space need not be one — this corpus has only ~2,000 distinct
+    * 5-grams across 5,000 docs, so even the "rarest" grams are shared by
+    * hundreds of documents and the prefix join degenerates to ~17% of all
+    * pairs (measured: 2.1M candidates, a 40s wall). LSH candidates are
+    * vocabulary-independent and linear in docs; at J >= 0.8 the 16x4-band
+    * miss probability per pair is ~2e-4, and row-identity vs the exact
+    * SQL oracle is verified at every test scale. Blocking on lang folds
+    * into the band join key. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
-    val d = docs(spark, sfDir)
-    setJaccardPairs(spark,
-      d.select(col("doc_id"), col("lang"),
-        explode(expr(
-          "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1))," +
-            " i -> substr(text, i, 3)))")).as("tok")),
-      threshold, blockCols = Seq("lang"))
+    import spark.implicits._
+    val d = docs(spark, sfDir).select("doc_id", "lang", "text").as[(Long, String, String)]
+    // grams + signatures staged once (the minhashLsh pattern): banding and
+    // per-candidate verification both read them
+    val sigs = d.map { case (id, lang, text) =>
+      val sh = charShingles(text)
+      (id, lang, sh, signature(sh))
+    }.toDF("doc_id", "lang", "grams", "sig").persist()
+    val perRow = NumHashes / Bands
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("sig"), b * perRow + 1, perRow)).as("bh"))
+    }
+    val banded = sigs.select(col("doc_id"), col("lang"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("lang"), col("bb.band"), col("bb.bh"))
+    val l = banded.select(col("lang"), col("band"), col("bh"), col("doc_id").as("id_a"))
+    val r = banded.select(col("lang"), col("band"), col("bh"), col("doc_id").as("id_b"))
+    val cand = l.join(r, Seq("lang", "band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val gs = sigs.select(col("doc_id"), col("grams"))
+    val withG = cand
+      .join(gs.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(gs.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+    // exact gram-set Jaccard with codegen'd built-ins (same verify shape
+    // as minhashLsh; grams are 64-bit FNV hashes — collision effects are
+    // ~1e-19 per pair, the same assumption dd_minhash's verification makes)
+    val uni = size(array_union(col("g_a"), col("g_b")))
+    val jac = when(uni === 0, lit(1.0)).otherwise(
+      size(array_intersect(col("g_a"), col("g_b"))).cast("double") / uni)
+    val result = withG.withColumn("jaccard", jac)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    materializeAndRelease(result, sigs)
   }
+
+  /** Character w-gram shingles of a text, FNV-hashed, distinct. */
+  def charShingles(text: String, w: Int = 5): Array[Long] =
+    if (text.length < w) Array(fnv1a(text))
+    else (0 to text.length - w).map(i => fnv1a(text.substring(i, i + w))).toArray.distinct
 
   /** Shared set-Jaccard core over a tokenized frame (doc_id, blockCols...,
     * tok): attribute blocking on `blockCols`, lossless ppjoin prefix
@@ -126,23 +162,33 @@ object Dedup {
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     // global document frequency -> the canonical token order (df asc, tok)
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // EXPLICIT two-phase salting on the df-annotation join: keying it on
-    // raw `tok` alone would funnel every occurrence of a hot stopword
-    // ('the' appears in nearly all docs) into one reducer — and AQE's
-    // skew-split structurally cannot rescue this join, because the dfreq
-    // side is a direct aggregate output (no ShuffleQueryStage for
-    // OptimizeSkewedJoin to replicate partitions from). Salting on
-    // (tok, doc_id % S) spreads the hot token across S reducers at the
-    // cost of S small replicas of the per-token df rows — the codecCounts
-    // pattern, deterministic and broadcast-free (the raw-token vocabulary
-    // at 100 TB is far past any broadcast cap). DedupSpec asserts the
-    // no-hot-spot property on a 10^5-occurrence stopword via task metrics.
+    // HYBRID salting on the df-annotation join: keying it on raw `tok`
+    // alone would funnel every occurrence of a hot stopword ('the'
+    // appears in nearly all docs) into one reducer — and AQE's skew-split
+    // structurally cannot rescue this join, because the dfreq side is a
+    // direct aggregate output (no ShuffleQueryStage for OptimizeSkewedJoin
+    // to replicate partitions from). But a BLANKET x16 salt replication of
+    // dfreq is also wrong: for near-unique token spaces (character
+    // 5-grams, vocabulary ~ occurrence count) it multiplies the build side
+    // by 16 for no benefit (measured: 6x the dd_ngram wall at sf0.1). So
+    // split by heat: keys with df >= HotDf (a tiny, Zipf-bounded set —
+    // these are the only ones that can meaningfully skew a reducer) are
+    // replicated over S salts and joined on (tok, doc_id % S); the cold
+    // majority joins unsalted — a < HotDf-occurrence key cannot hot-spot.
+    // Inner joins partition rows disjointly by tok, so the union is exact.
+    // Deterministic and broadcast-free (the raw vocabulary at 100 TB is
+    // far past any broadcast cap). DedupSpec asserts the no-hot-spot
+    // property on a 10^5-occurrence stopword via task metrics.
     val S = 16
+    val HotDf = 1000L
     val salts = spark.range(0, S).select(col("id").cast("int").as("__salt"))
-    val dfreqS = dfreq.crossJoin(broadcast(salts))
-    val ordered = toks.withColumn("__salt", pmod(col("doc_id"), lit(S)).cast("int"))
-      .join(dfreqS, Seq("tok", "__salt"))
+    val hotAnnotated = toks
+      .withColumn("__salt", pmod(col("doc_id"), lit(S)).cast("int"))
+      .join(dfreq.filter(col("df") >= HotDf).crossJoin(broadcast(salts)),
+        Seq("tok", "__salt"))
       .drop("__salt")
+    val coldAnnotated = toks.join(dfreq.filter(col("df") < HotDf), "tok")
+    val ordered = hotAnnotated.unionByName(coldAnnotated)
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
       .join(sizes, "doc_id")

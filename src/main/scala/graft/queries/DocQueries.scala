@@ -79,15 +79,15 @@ object DocQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8""".stripMargin,
-    // character-3-gram replay: DuckDB range(a,b) is [a,b) — positions
-    // 1..len-2 = range(1, len-1); greatest(...,2) mirrors the Spark side's
+    // character-5-gram replay: DuckDB range(a,b) is [a,b) — positions
+    // 1..len-4 = range(1, len-3); greatest(...,2) mirrors the Spark side's
     // whole-short-text single gram (substr past len clamps identically).
     // Blocking is lang only (NOT n_chars): the missing-space near-dups the
     // query targets differ in length
     "dd_ngram" ->
       """WITH g AS (
-        |  SELECT DISTINCT doc_id, lang, substr(text, i, 3) AS tok
-        |  FROM documents, LATERAL (SELECT unnest(range(1, greatest(len(text) - 1, 2))) AS i) t
+        |  SELECT DISTINCT doc_id, lang, substr(text, i, 5) AS tok
+        |  FROM documents, LATERAL (SELECT unnest(range(1, greatest(len(text) - 3, 2))) AS i) t
         |), sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i

@@ -66,7 +66,7 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
-  test("ngramJaccard: pairs meet the threshold and match a local char-3-gram reference") {
+  test("ngramJaccard: pairs meet the threshold and match a local char-5-gram reference") {
     val rows = Dedup.ngramJaccard(spark, sfDir).collect()
     assert(rows.nonEmpty)
     assert(rows.forall(_.getDouble(2) >= 0.8))
@@ -76,7 +76,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     def grams(t: String): Set[String] =
-      if (t.length < 3) Set(t) else (0 to t.length - 3).map(i => t.substring(i, i + 3)).toSet
+      if (t.length < 5) Set(t) else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
     rows.foreach { r =>
       val (a, b) = (grams(docs(r.getLong(0))), grams(docs(r.getLong(1))))
       val j = a.intersect(b).size.toDouble / a.union(b).size
