@@ -16,6 +16,17 @@ import graft.run.ValidationPipeline
   */
 object Bench {
 
+  /** One full scaling-section measurement: best-of-`pairs` interleaved
+    * pipeline runs at the two levels, bracketed by the pure-CPU host
+    * control (before + after — the conservative `control` is their min,
+    * so a host that degrades MID-measurement is still caught). */
+  private final case class ScalingResult(
+      nClips: Long, nBad: Long, secLo: Double, cpsLo: Double,
+      secHi: Double, cpsHi: Double, efficiency: Double,
+      controlBefore: Double, controlAfter: Double) {
+    def control: Double = math.min(controlBefore, controlAfter)
+  }
+
   private def newSession(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -60,29 +71,40 @@ object Bench {
     var spark: SparkSession = null
     def perQuerySweep(): Seq[(String, Double)] = {
       spark = newSession(cpus)
-      // the au_* family reads a shared materialized `measured`
-      // (AudioQueries.measuredShared — one synth pass, four consumers, the
-      // 100 TB shape). Build it FIRST, timed, and report the cost as its
-      // own "au_materialize" entry: built inside the sweep it would land
-      // on whichever au_* query ran first in pass 1 and min-of-2 would
-      // silently drop it; built after the warmup it would be a cache hit
-      // whenever sfDir equals the warmup dir (smoke runs) and report a
-      // vacuous near-zero. A failure here must not abort the sweep — the
-      // au_* queries then fail individually and record NaN.
-      val tMat = System.nanoTime()
-      val auMaterialize =
-        try {
-          graft.audio.AudioQueries.measuredShared(spark, sfDir).count()
-          Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] au_materialize failed: ${e.getMessage}")
-          Seq.empty
-        }
+      // Warmup FIRST (round-5, per the round-4 advice): the au_* warmups
+      // below materialize warmSf's shared pass, so the timed sfDir
+      // materialization that follows measures the engine, not JVM/codegen/
+      // session startup (round-4 timed it cold and its single sample
+      // absorbed exactly the startup cost the warmup exists to remove).
       val warmSf = "/root/testdata/sf0.001"
       SparkEntry.queries.foreach { case (name, fn) =>
         try force(fn(spark, warmSf))
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
+      // The au_* family reads a shared materialized `measured`
+      // (AudioQueries.measuredShared — one synth pass, four consumers, the
+      // 100 TB shape). Build it BEFORE the sweep, timed, and report the
+      // cost as its own "au_materialize" entry: built inside the sweep it
+      // would land on whichever au_* query ran first in pass 1 and
+      // min-of-2 would silently drop it. If it fails, the au_* queries are
+      // EXCLUDED from the sweep (loudly): each would retry the
+      // materialization inside its own timed window and silently re-absorb
+      // the cost the dedicated entry exists to account for.
+      val tMat = System.nanoTime()
+      val auOk =
+        try { graft.audio.AudioQueries.measuredShared(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] au_materialize failed: ${e.getMessage}" +
+            " — au_* queries EXCLUDED from this sweep (their timings would" +
+            " silently re-absorb the materialization retry)")
+          false
+        }
+      val auMaterialize =
+        if (auOk) Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
+        else Seq.empty
+      val sweepQueries =
+        if (auOk) SparkEntry.queries
+        else SparkEntry.queries.filterNot(_._1.startsWith("au_"))
       // two full passes, per-query minimum: this host shows transient
       // multi-second throughput dips (tens of seconds long, arbitrary
       // placement — measured by re-running the identical loop and watching
@@ -90,7 +112,7 @@ object Bench {
       // be 5-7x off for whichever queries the dip lands on. Same hedge the
       // scaling section uses (interleaved min-of-3).
       val passes = (1 to 2).map { _ =>
-        SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        sweepQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
           val t0 = System.nanoTime()
           // a failed pass records NaN, NOT its short time-to-fail — the min
           // below must never pick a fast failure over a real success
@@ -143,19 +165,50 @@ object Bench {
     val nHi = 4 * nLo
     val repl = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPL", "6").toInt
     val pairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_PAIRS", "3").toInt
-    val samples = Seq.fill(pairs)(Seq(nLo, nHi)).flatten.map { c =>
-      spark = newSession(c)
-      val r = ValidationPipeline.timed(spark, sfDir, repl)
-      spark.stop()
-      (c, r)
+
+    // Degraded-host policy (round-5, the round-4 top item): the pure-CPU
+    // control is measured BEFORE and AFTER the scaling samples; if the
+    // worse of the two reads below HealthyControl, the host was throttled
+    // during the measurement window (round-4's driver regeneration read
+    // control 0.831 vs the usual 0.95-0.97 and efficiency 0.732 — a host
+    // artifact, not an engine one) and the WHOLE section reruns, up to
+    // maxAttempts. The retry trigger is host health ONLY — never the
+    // efficiency number — so a healthy-host reading can never be displaced
+    // by cherry-picking. If every attempt is degraded, the least-degraded
+    // one becomes the evidence of record, stamped `host_degraded: true` in
+    // both the JSON line and BENCH.md.
+    val HealthyControl = 0.85
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_ATTEMPTS", "3").toInt
+    def runScalingOnce(): ScalingResult = {
+      val cBefore = cpuControlEfficiency(nLo, nHi)
+      val samples = Seq.fill(pairs)(Seq(nLo, nHi)).flatten.map { c =>
+        spark = newSession(c)
+        val r = ValidationPipeline.timed(spark, sfDir, repl)
+        spark.stop()
+        (c, r)
+      }
+      val scaling = Seq(nLo, nHi).map { c =>
+        val (n, nBad, sec) = samples.collect { case (`c`, r) => r }.minBy(_._3)
+        (c, n, nBad, sec, n / sec)
+      }
+      val Seq((_, nClips, nBad, secLo, cpsLo), (_, _, _, secHi, cpsHi)) = scaling
+      val cAfter = cpuControlEfficiency(nLo, nHi)
+      ScalingResult(nClips, nBad, secLo, cpsLo, secHi, cpsHi,
+        (cpsHi / cpsLo) / 4.0, cBefore, cAfter)
     }
-    val scaling = Seq(nLo, nHi).map { c =>
-      val (n, nBad, sec) = samples.collect { case (`c`, r) => r }.minBy(_._3)
-      (c, n, nBad, sec, n / sec)
+    val attempts = scala.collection.mutable.ArrayBuffer(runScalingOnce())
+    while (attempts.last.control < HealthyControl && attempts.size < maxAttempts) {
+      System.err.println(f"[bench] degraded host: control ${attempts.last.control}%.3f" +
+        f" < $HealthyControl%.2f — rerunning scaling section" +
+        s" (attempt ${attempts.size + 1}/$maxAttempts)")
+      attempts += runScalingOnce()
     }
-    val Seq((_, nClips, nBad, secLo, cpsLo), (_, _, _, secHi, cpsHi)) = scaling
-    val efficiency = (cpsHi / cpsLo) / 4.0
-    val controlEff = cpuControlEfficiency(nLo, nHi)
+    // evidence of record = the attempt with the healthiest contemporaneous
+    // control (== the only/last attempt unless all were degraded)
+    val rec = attempts.maxBy(_.control)
+    val hostDegraded = rec.control < HealthyControl
+    val ScalingResult(nClips, nBad, secLo, cpsLo, secHi, cpsHi, efficiency, _, _) = rec
+    val controlEff = rec.control
 
     // 2. second scaling axis: vary DATA SIZE at fixed cores (local[4N]) —
     // 0.5x and 2x the replicate used above. If clips/s is flat in rows, the
@@ -192,8 +245,48 @@ object Bench {
       (for (a <- at; b <- at2) yield (b - a) / a).getOrElse(Double.NaN)
     }
 
+    // EVERY sentence below is derived from values measured in THIS run —
+    // no frozen cross-round claims (round-4 What's-wrong #1: a hard-coded
+    // "all >= 0.8" span survived into a regeneration whose own table read
+    // 0.732; cross-round history belongs to BASELINE.md, which is written
+    // by hand, not by this template).
+    val criterionLine =
+      if (efficiency >= 0.8)
+        f"**meets** the north-rule criterion (>= 0.8)"
+      else if (hostDegraded)
+        f"is **below** the 0.8 criterion, measured on a host stamped " +
+          f"DEGRADED (control ${controlEff}%.3f < $HealthyControl%.2f in " +
+          f"every attempt — see the policy note below); the " +
+          f"engine-vs-ceiling ratio is the meaningful number for this run"
+      else
+        f"is **below** the north-rule criterion (>= 0.8) on a healthy host"
+    val attemptRows = attempts.zipWithIndex.map { case (a, i) =>
+      f"| ${i + 1} | ${a.efficiency}%.3f | ${a.controlBefore}%.3f | ${a.controlAfter}%.3f | ${if (a.control < HealthyControl) "degraded" else "healthy"} |"
+    }.mkString("\n")
+    val policyNote =
+      if (attempts.size == 1 && !hostDegraded)
+        f"""Host-health policy: the control was measured before AND after the
+           |scaling samples (${rec.controlBefore}%.3f / ${rec.controlAfter}%.3f);
+           |both cleared the $HealthyControl%.2f degraded-host threshold on the
+           |first attempt, so no rerun was needed.""".stripMargin
+      else
+        f"""Host-health policy: a control reading below $HealthyControl%.2f
+           |(before or after the samples) marks the host throttled during the
+           |window and reruns the whole section, up to $maxAttempts attempts
+           |(retry trigger is host health ONLY — the efficiency number never
+           |triggers or survives a retry selection). All attempts this run:
+           |
+           || attempt | efficiency | control before | control after | verdict |
+           ||---|---|---|---|---|
+           |@ATTEMPT_ROWS@
+           |
+           |Evidence of record = the healthiest-control attempt${if (hostDegraded) ", still degraded -> stamped `host_degraded: true` in the JSON line" else ""}.""".stripMargin
+          .replace("@ATTEMPT_ROWS@", attemptRows)
     val benchMd =
       f"""# BENCH — validated clips/sec + N->4N scaling evidence
+         |
+         |All numbers in this file were measured by the single run that wrote
+         |it (cross-round history and protocol derivations: BASELINE.md).
          |
          |Workload: full validation pipeline (audio synth+decode, PCM SNR>=30dB
          |allclose, byte/dur consistency, null/empty/range/enum checks, global
@@ -205,37 +298,36 @@ object Bench {
          |cache; sandbox timing noise is several percent per run; the JVM
          |runs with a fixed GC/JIT background-thread budget so helper threads
          |do not scale with the level — see build.sbt). The scaling section
-         |runs BEFORE the per-query sweep (round 4): sweep-polluted JVM state
-         |(metaspace/old-gen debris) was measured to depress the 4N level by
-         |~10%%, the only sub-0.8 reading ever observed (0.778 vs 0.905 clean,
-         |hardware control ~0.91 in both — see BASELINE.md).
+         |runs BEFORE the per-query sweep: sweep-polluted JVM state
+         |(metaspace/old-gen debris) measurably depresses the 4N level
+         |(round-4 finding, quantified in BASELINE.md), so the headline
+         |criterion is measured in the cleanest JVM state.
          |
          || parallelism | wall (s) | clips/sec |
          ||---|---|---|
          || local[$nLo]  | $secLo%.2f | $cpsLo%.0f |
          || local[$nHi] | $secHi%.2f | $cpsHi%.0f |
          |
-         |**Scaling efficiency (throughput_4N / throughput_N) / 4 = $efficiency%.3f**
-         |(north-rule criterion: >= 0.8).
+         |**Scaling efficiency (throughput_4N / throughput_N) / 4 =
+         |$efficiency%.3f**, which $criterionLine.
+         |
+         |@POLICY_NOTE@
          |
          |Launch modes: this protocol runs identically under
          |`spark-submit --class graft.Bench <jar>` (north-rule launch mode)
-         |and sbt, and the two agree (round-2: 0.904 spark-submit vs 0.866
-         |sbt; round-3: 0.892 vs 0.877; round-4: 0.826 spark-submit vs
-         |0.812-0.905 across four sbt runs, same session);
-         |`graft.SubmitPipeline` runs the single-level pipeline under
-         |`spark-submit --master local[N]` for per-invocation evidence.
-         |Scaling-first full-protocol measurements span 0.81-0.91 — all
-         |>= 0.8 (see BASELINE.md for the protocol's derivation and the
-         |round-4 JVM-ordering hardening).
+         |and sbt; cross-launch agreement numbers for past rounds are
+         |recorded in BASELINE.md, not here. `graft.SubmitPipeline` runs the
+         |single-level pipeline under `spark-submit --master local[N]` for
+         |per-invocation evidence.
          |
          |Hardware control, same run: a pure-CPU StrictMath.sin loop (no Spark,
          |no allocation, no shared state) at the same two thread counts scales
-         |at **$controlEff%.3f** — the host's own ceiling from active-core
-         |frequency behavior. 8->32 threads this control drops to ~0.70-0.79 on
-         |this virtualized host, which is why the criterion runs at N=$nLo: it
-         |keeps the measurement about the engine, not the clock governor. The
-         |pipeline's efficiency relative to the hardware ceiling is
+         |at **$controlEff%.3f** (min of before/after brackets) — the host's
+         |own ceiling from active-core frequency behavior. 8->32 threads this
+         |control drops to ~0.70-0.79 on this virtualized host, which is why
+         |the criterion runs at N=$nLo: it keeps the measurement about the
+         |engine, not the clock governor. The pipeline's efficiency relative
+         |to the hardware ceiling is
          |${if (controlEff > 0) f"${efficiency / controlEff}%.3f" else "n/a"}.
          |
          |Second scaling axis — data size at fixed cores (local[$nHi], best of
@@ -255,9 +347,11 @@ object Bench {
          |positive delta rules it out even when a half-size sample catches a
          |host dip and widens the raw spread.
          |""".stripMargin
-        // interpolated AFTER stripMargin: the rows' leading '|' table pipes
-        // would otherwise be eaten as margin markers
+        // interpolated AFTER stripMargin: these fragments contain markdown
+        // table rows whose leading '|' pipes would otherwise be eaten as
+        // margin markers
         .replace("@SIZE_ROWS@", sizeRows)
+        .replace("@POLICY_NOTE@", policyNote)
     // only the real benchmark scale updates the committed artifact — a
     // smoke run at sf0.001 must not clobber BENCH.md with startup-dominated
     // numbers that say nothing about scaling
@@ -266,19 +360,62 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] BENCH.md write failed: $e") }
 
     // 3. per-query sweep, in the now-expendable JVM (BENCH.md is already
-    //    safely written above)
+    //    safely written above), bracketed by an ABSOLUTE host-speed stamp:
+    //    the control efficiency above is a ratio (host ceiling), useless
+    //    for normalizing per-query round-over-round deltas — the Mops/s of
+    //    the same sin loop at full width is the yardstick that lets the
+    //    next round's verdict separate engine deltas from host drift
+    //    (round-4 ask #5; min of before/after = conservative host speed
+    //    during the sweep window).
+    val sweepMopsBefore = if (scalingOnly) 0.0 else cpuRateMops(cpus)
     val results: Seq[(String, Double)] =
       if (scalingOnly) Seq.empty else perQuerySweep()
+    val sweepMopsAfter = if (scalingOnly) 0.0 else cpuRateMops(cpus)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val attemptsJson = attempts.map { a =>
+      f"""{"efficiency":${a.efficiency}%.3f,"control_before":${a.controlBefore}%.3f,"control_after":${a.controlAfter}%.3f}"""
+    }.mkString("[", ",", "]")
     val scal =
-      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f}"""
+      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f,"host_degraded":$hostDegraded,"attempts":$attemptsJson}"""
     val sizes = sizeAxis.map { case (k, n, sec, cps) =>
       f"""{"replicate":$k,"clips":$n,"sec":$sec%.3f,"cps":$cps%.1f}"""
     }.mkString("[", ",", "]")
+    val sweepCtl =
+      f"""{"mops_before":$sweepMopsBefore%.1f,"mops_after":$sweepMopsAfter%.1f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl}""")
+  }
+
+  private def cpuRun(threads: Int, work: Long): Double = {
+    val sink = new Array[Double](threads)
+    val ts = (0 until threads).map { id =>
+      val t = new Thread(() => {
+        var acc = 0.0
+        var j = 0L
+        while (j < work) { acc += StrictMath.sin(j * 1e-6); j += 1 }
+        sink(id) = acc
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    sink.sum // defeat dead-code elimination
+  }
+
+  /** Total sin-loop ops/sec across `threads` raw JVM threads. */
+  private def cpuRate(threads: Int, work: Long): Double = {
+    val t0 = System.nanoTime()
+    cpuRun(threads, work)
+    threads * work / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  /** ABSOLUTE host-speed stamp (Mops/s of the sin loop at full width):
+    * comparable across rounds on the same host class, so per-query deltas
+    * can be normalized for host drift instead of hand-waved. */
+  private def cpuRateMops(threads: Int): Double = {
+    cpuRate(threads, 5000000L) // warmup
+    cpuRate(threads, 100000000L) / 1e6
   }
 
   /** Pure-CPU scaling control: StrictMath.sin loops on raw JVM threads at
@@ -286,25 +423,7 @@ object Bench {
     * this measures is the HOST's parallel-scaling ceiling (frequency
     * governor, hypervisor contention); the engine cannot exceed it. */
   private def cpuControlEfficiency(nLo: Int, nHi: Int): Double = {
-    def run(threads: Int, work: Long): Double = {
-      val sink = new Array[Double](threads)
-      val ts = (0 until threads).map { id =>
-        val t = new Thread(() => {
-          var acc = 0.0
-          var j = 0L
-          while (j < work) { acc += StrictMath.sin(j * 1e-6); j += 1 }
-          sink(id) = acc
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      sink.sum // defeat dead-code elimination
-    }
-    def rate(threads: Int, work: Long): Double = {
-      val t0 = System.nanoTime()
-      run(threads, work)
-      threads * work / ((System.nanoTime() - t0) / 1e9)
-    }
+    def rate(threads: Int, work: Long): Double = cpuRate(threads, work)
     rate(nHi, 10000000L) // warmup
     // sustained (~15 s per level): short bursts overstate the ceiling —
     // the host throttles under sustained load, which is the pipeline's

@@ -108,21 +108,26 @@ object AudioQueries {
     * materialized table on the input snapshot id instead). Temp dirs are
     * removed by a shutdown hook. */
   private val sharedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deleteRecursively(d: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => () }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sharedDirs.values.forEach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }))
+      sharedDirs.values.forEach(deleteRecursively)))
   }
   def measuredShared(spark: SparkSession, sfDir: String): Dataset[ClipMeasure] = {
     import spark.implicits._
     val dir = sharedDirs.computeIfAbsent(sfDir, _ => {
       val d = java.nio.file.Files.createTempDirectory("graft-measured").toString
-      measured(spark, sfDir).toDF().write.mode("overwrite").parquet(d)
+      // a FAILED materialization never registers in sharedDirs, so the
+      // shutdown hook would miss its partial output — delete it eagerly
+      // before rethrowing (round-4 advice: each retry otherwise leaks
+      // another orphan temp dir)
+      try measured(spark, sfDir).toDF().write.mode("overwrite").parquet(d)
+      catch { case e: Throwable => deleteRecursively(d); throw e }
       d
     })
     spark.read.parquet(dir).as[ClipMeasure]

@@ -67,6 +67,12 @@ object CheckCompiler {
     // but without re-scanning the input once per ref table. Each struct
     // carries its own id so ref violations keep reporting the checked
     // column's value (which for a key-typed ref check is the suite key).
+    // The id field of EVERY struct is pinned to the suite key's type: the
+    // structs share one array(), so a ref column typed differently from
+    // the key would otherwise let Spark's array type coercion silently
+    // widen clip_id (or fail analysis) and change the violations schema
+    // relative to the old per-branch union (round-4 advice).
+    val keyType = df.schema(suite.keyColumn).dataType
     val perRow: Option[DataFrame] =
       if (suite.rowChecks.isEmpty && suite.refChecks.isEmpty) None
       else Some {
@@ -80,7 +86,7 @@ object CheckCompiler {
         val rowStructs = suite.rowChecks.map { c =>
           when(c.failWhen,
             struct(
-              key.as("id"),
+              key.cast(keyType).as("id"),
               lit(c.name).as("check_name"),
               lit(c.column).as("column_name"),
               coalesce(c.detail, lit("")).as("detail")))
@@ -88,7 +94,7 @@ object CheckCompiler {
         val refStructs = suite.refChecks.map { r =>
           when(col(s"__refk_${r.name}").isNull,
             struct(
-              col(r.column).as("id"),
+              col(r.column).cast(keyType).as("id"),
               lit(r.name).as("check_name"),
               lit(r.column).as("column_name"),
               lit("missing_ref").as("detail")))

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline over the
@@ -104,9 +103,15 @@ object Dedup {
     * 5-grams across 5,000 docs, so even the "rarest" grams are shared by
     * hundreds of documents and the prefix join degenerates to ~17% of all
     * pairs (measured: 2.1M candidates, a 40s wall). LSH candidates are
-    * vocabulary-independent and linear in docs; at J >= 0.8 the 16x4-band
-    * miss probability per pair is ~2e-4, and row-identity vs the exact
-    * SQL oracle is verified at every test scale. Blocking on lang folds
+    * vocabulary-independent and linear in docs. The candidate gate is
+    * RECALL-BOUNDED, not exact: at J >= 0.8 the 16x4-band per-pair miss
+    * probability is ~2e-4 (worse for pairs barely above threshold —
+    * 1-(1-J^4)^16 at J=0.8 exactly), so a qualifying pair CAN be
+    * deterministically missed; the exact-all-pairs DuckDB oracle's row
+    * identity is an empirical observation at the tested scales/corpora,
+    * not a guarantee (same accepted tension as [[minhashLsh]], ~1% per
+    * pair at its J=0.7 threshold). Pairs that DO surface are exact: the
+    * verify stage computes true gram-set Jaccard. Blocking on lang folds
     * into the band join key. */
   def ngramJaccard(spark: SparkSession, sfDir: String, threshold: Double = 0.8): DataFrame = {
     import spark.implicits._
@@ -153,76 +158,89 @@ object Dedup {
 
   /** Shared set-Jaccard core over a tokenized frame (doc_id, blockCols...,
     * tok): attribute blocking on `blockCols`, lossless ppjoin prefix
-    * filter on the globally-rarest tokens, salted document-frequency
+    * filter on the globally-rarest tokens, skew-proof document-frequency
     * annotation, a lossless size-ratio candidate bound, and exact
-    * intersection only for surviving candidates. */
+    * intersection (array built-ins) only for surviving candidates.
+    *
+    * Skew design (round-5 — root cause of the round-4 dd_token_jaccard
+    * regression): keying the df-annotation join on raw `tok` funnels every
+    * occurrence of a hot stopword into one reducer, and AQE's skew-split
+    * structurally cannot rescue it (the dfreq side is a direct aggregate
+    * output, not a ShuffleQueryStage). Round-4's hybrid salting fixed the
+    * hot spot but shuffled the FULL toks frame TWICE (inner-join
+    * filtering happens at the reducer, so both the hot and the cold join
+    * shuffled every row) and then ran a row_number window over the union
+    * — a third full exchange plus a sort (measured 2.03 -> 3.78 s).
+    * Round-5 instead bounds the HOT SLICE of the vocabulary by
+    * construction: with hotDf = max(1000, nOcc/1e6), at most
+    * nOcc/hotDf <= 1e6 tokens can reach that document frequency, so the
+    * hot dfreq slice is provably broadcastable at ANY corpus size (unlike
+    * the raw vocabulary, which is far past any cap at 100 TB). Hot rows
+    * are annotated by a map-side broadcast join and EXCLUDED from the
+    * cold shuffle by a map-side broadcast anti-join, so the one remaining
+    * tok-keyed shuffle provably carries no key with >= hotDf occurrences.
+    * The canonical (df asc, tok) prefix order is then computed per doc by
+    * ONE uniform doc_id-keyed aggregation (sort_array over the collected
+    * struct list — replaces the window AND the separate sizes aggregate),
+    * and the exact intersection reuses the per-doc token arrays from the
+    * same aggregate (the minhashLsh verify shape — bounded-key joins, no
+    * re-shuffle of the token stream). DedupSpec asserts the no-hot-spot
+    * property on a 10^5-occurrence stopword via task metrics. */
   private def setJaccardPairs(spark: SparkSession, toksIn: DataFrame,
       threshold: Double, blockCols: Seq[String]): DataFrame = {
     val toks = toksIn.persist()
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    // global document frequency -> the canonical token order (df asc, tok)
+    val nOcc = toks.count() // materializes the cache; total occurrences
+    // global document frequency -> the canonical token order (df asc, tok).
+    // Partial (map-side) aggregation means even a 10^12-occurrence token
+    // costs one row per map task in this shuffle.
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    // HYBRID salting on the df-annotation join: keying it on raw `tok`
-    // alone would funnel every occurrence of a hot stopword ('the'
-    // appears in nearly all docs) into one reducer — and AQE's skew-split
-    // structurally cannot rescue this join, because the dfreq side is a
-    // direct aggregate output (no ShuffleQueryStage for OptimizeSkewedJoin
-    // to replicate partitions from). But a BLANKET x16 salt replication of
-    // dfreq is also wrong: for near-unique token spaces (character
-    // 5-grams, vocabulary ~ occurrence count) it multiplies the build side
-    // by 16 for no benefit (measured: 6x the dd_ngram wall at sf0.1). So
-    // split by heat: keys with df >= HotDf (a tiny, Zipf-bounded set —
-    // these are the only ones that can meaningfully skew a reducer) are
-    // replicated over S salts and joined on (tok, doc_id % S); the cold
-    // majority joins unsalted — a < HotDf-occurrence key cannot hot-spot.
-    // Inner joins partition rows disjointly by tok, so the union is exact.
-    // Deterministic and broadcast-free (the raw vocabulary at 100 TB is
-    // far past any broadcast cap). DedupSpec asserts the no-hot-spot
-    // property on a 10^5-occurrence stopword via task metrics.
-    val S = 16
-    val HotDf = 1000L
-    val salts = spark.range(0, S).select(col("id").cast("int").as("__salt"))
-    val hotAnnotated = toks
-      .withColumn("__salt", pmod(col("doc_id"), lit(S)).cast("int"))
-      .join(dfreq.filter(col("df") >= HotDf).crossJoin(broadcast(salts)),
-        Seq("tok", "__salt"))
-      .drop("__salt")
-    val coldAnnotated = toks.join(dfreq.filter(col("df") < HotDf), "tok")
-    val ordered = hotAnnotated.unionByName(coldAnnotated)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
-      .join(sizes, "doc_id")
-    val keep = Seq(col("doc_id")) ++ blockCols.map(col) :+ col("tok")
-    val prefix = ordered
-      .filter(col("rk") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
-      .select(keep: _*)
-    val pa = prefix.withColumnRenamed("doc_id", "id_a")
-    val pb = prefix.withColumnRenamed("doc_id", "id_b")
+    val hotDf = math.max(1000L, nOcc / 1000000L)
+    val hot = dfreq.filter(col("df") >= hotDf) // <= nOcc/hotDf <= 1e6 rows
+    val hotToks = hot.select("tok")
+    val hotAnnotated = toks.join(broadcast(hot), "tok") // map-side
+    val coldAnnotated = toks
+      .join(broadcast(hotToks), Seq("tok"), "left_anti") // hot rows never shuffle
+      .join(dfreq.filter(col("df") < hotDf), "tok") // no key >= hotDf occurrences
+    // ONE uniform aggregation gives the df-sorted token structs, the set
+    // size, and the token array — prefix, size bound, and verify all read it
+    val docAgg = hotAnnotated.unionByName(coldAnnotated)
+      .groupBy(col("doc_id") +: blockCols.map(col): _*)
+      .agg(
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("dts"),
+        count(lit(1)).as("sz"))
+      .persist()
+    val prefixLen = (floor((lit(1.0) - threshold) * col("sz")) + 1).cast("int")
+    val prefix = docAgg.select(
+      ((col("doc_id") +: blockCols.map(col)) :+
+        explode(slice(col("dts"), lit(1), prefixLen)).as("dt")): _*)
+    val pa = prefix.select(
+      (Seq(col("doc_id").as("id_a"), col("dt.tok").as("tok")) ++ blockCols.map(col)): _*)
+    val pb = prefix.select(
+      (Seq(col("doc_id").as("id_b"), col("dt.tok").as("tok")) ++ blockCols.map(col)): _*)
     val cand = pa.join(pb, "tok" +: blockCols)
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // lossless size-ratio bound BEFORE the intersection: J >= t implies
-    // |B|/|A| in [t, 1/t] (i <= min and a+b-i >= max), so cross-size
-    // candidates are pruned without computing their overlap
-    val sa = sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a"))
-    val sb = sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b"))
-    val candSized = cand.join(sa, "id_a").join(sb, "id_b")
+    // per-doc arrays join back per candidate id (bounded keys); the
+    // lossless size-ratio bound (J >= t implies |B|/|A| in [t, 1/t]) prunes
+    // cross-size candidates before their intersection is evaluated
+    val docSets = docAgg.select(col("doc_id"), col("sz"), col("dts.tok").as("tset"))
+    val withT = cand
+      .join(docSets.select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("tset").as("t_a")), "id_a")
+      .join(docSets.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("tset").as("t_b")), "id_b")
       .filter(least(col("sz_a"), col("sz_b")) >=
         lit(threshold) * greatest(col("sz_a"), col("sz_b")))
-    // exact intersection only for candidates: two bounded-key joins
-    val ta = toks.select(col("doc_id").as("id_a"), col("tok"))
-    val tb = toks.select(col("doc_id").as("id_b"), col("tok"))
-    val inter = candSized.select("id_a", "id_b")
-      .join(ta, "id_a").join(tb, Seq("id_b", "tok"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    val result = inter.join(candSized, Seq("id_a", "id_b"))
+    // exact intersection with codegen'd built-ins — tokens are distinct per
+    // doc upstream, so |intersect| over the arrays is the exact overlap
+    val inter = size(array_intersect(col("t_a"), col("t_b")))
+    val result = withT
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        inter.cast("double") / (col("sz_a") + col("sz_b") - inter))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
-    materializeAndRelease(result, toks)
+    materializeAndRelease(result, toks, docAgg)
   }
 
   // ---- MinHash + LSH ------------------------------------------------------

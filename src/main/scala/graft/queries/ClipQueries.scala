@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.agg.{StatsAggregator, TDigestAggregator}
@@ -127,23 +126,35 @@ object ClipQueries {
       .agg(round(sum(term), 4).as("chi2"), (count(lit(1)) - 1).as("dof"))
   }
 
-  /** dur_ms distribution drift: binned two-sample KS (histogram sketch via
-    * groupBy(bin) — bounded bin count, so the final window is tiny). */
+  /** dur_ms distribution drift: binned two-sample KS. The distributed part
+    * is the histogram aggregate (one hash agg over the full input); the
+    * cumulative-sum step then runs DRIVER-side over the collected bins.
+    * That is safe by construction — the bin count is bounded by the value
+    * domain (dur_ms/10 with dur_ms in [20ms, 500ms] → ≤ ~50 bins at ANY
+    * input scale; 10^12 rows have already been reduced by the aggregate) —
+    * and it replaces the previous `Window.orderBy(bin)` plan, whose
+    * unpartitioned-WindowExec warning was indistinguishable from the real
+    * single-task scale hazard the same shape causes on unbounded input
+    * (round-4 What's-wrong #3). */
   def driftKs(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val clips = ClipsTable.base(spark, sfDir)
     val binned = clips
       .withColumn("bin", floor(col("dur_ms") / 10).cast("bigint"))
       .groupBy("bin").agg(
         count(when(col("ord") % 2 === 0, 1)).as("a"),
         count(when(col("ord") % 2 === 1, 1)).as("b"))
-    val tot = binned.agg(
-      sum("a").cast("double").as("na"), sum("b").cast("double").as("nb"))
-    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    binned
-      .withColumn("ca", sum("a").over(w))
-      .withColumn("cb", sum("b").over(w))
-      .crossJoin(broadcast(tot))
-      .agg(round(max(abs(col("ca") / col("na") - col("cb") / col("nb"))), 6).as("ks"))
+    val rows = binned.orderBy("bin").collect() // O(bins) — see scaladoc
+    val na = rows.map(_.getLong(1)).sum.toDouble
+    val nb = rows.map(_.getLong(2)).sum.toDouble
+    var ca = 0L; var cb = 0L; var ks = 0.0
+    rows.foreach { r =>
+      ca += r.getLong(1); cb += r.getLong(2)
+      ks = math.max(ks, math.abs(ca / na - cb / nb))
+    }
+    // final rounding via the Spark expression so the result is bit-identical
+    // to the previous plan's round() (and the DuckDB oracle's)
+    Seq(ks).toDF("ks_raw").select(round(col("ks_raw"), 6).as("ks"))
   }
 
   /** Last-write-wins dedup — the reference's "repeated same-shape top-level

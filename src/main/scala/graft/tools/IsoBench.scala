@@ -26,19 +26,29 @@ object IsoBench {
       }
       spark.stop()
     } else {
+      // mode "queries": optional further args = query-name filter, optional
+      // leading Npasses as args(1) when numeric. Uses the same noop-sink
+      // force action as graft.Bench so projection-only queries are honest.
+      val rest = args.drop(if (mode == "queries") 1 else 0)
+      val nPasses = rest.headOption.flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2)
+      val filter = rest.dropWhile(s => scala.util.Try(s.toInt).toOption.isDefined).toSet
+      val sel = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => filter.isEmpty || filter(n) }
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
+      def force(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
       val warmSf = "/root/testdata/sf0.001"
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmSf).count() catch { case _: Throwable => }
+      sel.foreach { case (_, fn) =>
+        try force(fn(spark, warmSf)) catch { case _: Throwable => }
       }
-      for (pass <- 1 to 2) {
-        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      for (pass <- 1 to nPasses) {
+        sel.foreach { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
+          try force(fn(spark, sfDir))
           catch { case e: Throwable => println(s"[iso] $name FAILED: ${e.getMessage}") }
           println(f"[iso] pass$pass $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
           spark.catalog.clearCache()

@@ -210,15 +210,17 @@ class DedupSpec extends AnyFunSuite {
     assert(recall > 0.2, s"ivf recall $recall") // random vectors: cells are weak but non-trivial
   }
 
-  test("tokenJaccard survives a 10^5-occurrence stopword: salted dfreq join, no hot task") {
+  test("tokenJaccard survives a 10^5-occurrence stopword: hot slice broadcast, no hot task") {
     import org.apache.spark.sql.functions._
     // 100,000 docs all sharing the stopword 'the' (plus a unique token
     // each), and 20 planted exact-duplicate pairs. Keying the
     // df-annotation join on raw `tok` would funnel all 100,040 'the'
     // occurrences into ONE reducer (and AQE skew-split structurally cannot
     // rescue it: the dfreq side is a direct aggregate output, not a
-    // ShuffleQueryStage). The salted join must spread them ~evenly; task
-    // metrics prove no single task reads the hot token's full row set.
+    // ShuffleQueryStage). Round-5's bounded hot-slice design must instead
+    // keep hot-token rows out of every tok-keyed shuffle entirely
+    // (map-side broadcast annotate + anti-join); task metrics prove no
+    // single task reads the hot token's full row set.
     val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
     def dupFrame(off: Long) = spark.range(0, 20).select(
       (col("id") + off).as("doc_id"),
@@ -251,7 +253,9 @@ class DedupSpec extends AnyFunSuite {
     val confKeys = Seq(
       "spark.sql.shuffle.partitions",
       "spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize")
     val saved = confKeys.map(k => k -> spark.conf.getOption(k)).toMap
     spark.sparkContext.addSparkListener(taskListener)
     try {
@@ -263,6 +267,14 @@ class DedupSpec extends AnyFunSuite {
       // one task, which would hide any imbalance from the metrics
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+      // without these two, AQE's parallelism-first coalescing (1 MB min
+      // partition size) packs this test's few-MB shuffles into ONE
+      // partition regardless of the small advisory size — which reads as
+      // max==sum in the task metrics and is indistinguishable from a hot
+      // key; forcing size-based coalescing at a small floor makes the
+      // balance assertion measure the actual key distribution
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "4096")
 
       val result = Dedup.tokenJaccard(spark, dir, 0.8)
       val got = result.collect()
