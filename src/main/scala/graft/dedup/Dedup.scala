@@ -369,6 +369,30 @@ object Dedup {
     out
   }
 
+  /** The dedup pipeline's actual OUTPUT — the "keep" table: one canonical
+    * document per verified near-dup cluster (the cluster's minimum doc_id,
+    * [[minhashClusters]]' label) plus every unclustered document; i.e.
+    * `documents` minus non-canonical cluster members. Materialized through
+    * the Iceberg-shaped [[graft.io.TableFormat]] seam (bucket-partitioned
+    * snapshot commit) and read BACK from the committed snapshot, so the
+    * driver oracle validates the full write -> snapshot -> read lifecycle,
+    * not just the plan. The anti-join is UNHINTED: duplicate cardinality
+    * is data-dependent (a mostly-duplicated corpus makes the drop side
+    * huge), so AQE picks broadcast only when it is actually small. */
+  def keepTable(spark: SparkSession, sfDir: String, threshold: Double = 0.7,
+      tableDir: Option[String] = None): DataFrame = {
+    val clusters = minhashClusters(spark, sfDir, threshold)
+    val drop = clusters.filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    val keep = docs(spark, sfDir)
+      .join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        pmod(col("doc_id"), lit(16)).as("bucket"))
+    val table = tableDir.getOrElse(graft.io.Scratch.register("graft-keep"))
+    graft.io.TableFormat.commit(keep, table, "bucket")
+    clusters.unpersist(false)
+    graft.io.TableFormat.read(spark, table).select("doc_id", "lang", "n_chars")
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (Kiveris et al., "Connected Components in MapReduce and Beyond"):
     * star operations halve the distance to the component minimum each

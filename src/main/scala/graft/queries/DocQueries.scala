@@ -24,6 +24,7 @@ object DocQueries {
     "ann_lsh_recall" -> ((s, d) => Ann.lshRecall(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "dd_cluster" -> ((s, d) => Dedup.minhashClusters(s, d)),
+    "dd_keep" -> ((s, d) => Dedup.keepTable(s, d)),
     "dd_contaminate" -> ((s, d) => Dedup.contamination(s, d)),
     "ta_split" -> ((s, d) => TextQueries.splitAssign(s, d)),
     "dd_embed_cluster" -> ((s, d) => Ann.cosineClusters(s, d)),
@@ -143,6 +144,27 @@ object DocQueries {
          |)
          |SELECT doc_id, cast(least(doc_id, min(r)) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY doc_id""".stripMargin,
+    // the keep table: documents minus non-canonical members of the same
+    // recursive-closure clusters dd_cluster replays (read back through the
+    // snapshot seam on the Spark side — the oracle checks the lifecycle
+    // output row-for-row)
+    "dd_keep" ->
+      s"""WITH RECURSIVE $MinhashPairCtes,
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs
+         |),
+         |reach AS (
+         |  SELECT src AS doc_id, dst AS r FROM edges
+         |  UNION
+         |  SELECT e.src, r.r FROM edges e JOIN reach r ON r.doc_id = e.dst
+         |),
+         |labels AS (
+         |  SELECT doc_id, least(doc_id, min(r)) AS cluster_id
+         |  FROM reach GROUP BY doc_id
+         |)
+         |SELECT doc_id, lang, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM labels WHERE cluster_id <> doc_id)""".stripMargin,
     // SimHash pigeonhole candidates are EXACT for hamming<=3 (4 blocks), so
     // the oracle recomputes the 64-bit fingerprints from scratch: FNV-1a per
     // word occurrence via a HUGEINT mod-2^64 fold, per-bit majority votes,

@@ -165,6 +165,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("keepTable: canonical docs commit through a snapshot and read back exactly") {
+    import graft.io.TableFormat
+    val dir = java.nio.file.Files.createTempDirectory("graft-keeptest").toString
+    val got = Dedup.keepTable(spark, sfDir, tableDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // reference: documents minus non-canonical cluster members, straight
+    // from the cluster labels (no table-format involvement)
+    val labels = Dedup.minhashClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dropIds = labels.collect { case (d, c) if d != c => d }.toSet
+    assert(dropIds.nonEmpty, "corpus has no near-dup clusters; test is vacuous")
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filterNot(t => dropIds(t._1)).toSet
+    assert(got == want,
+      s"diff: ${got.diff(want).take(3)} / ${want.diff(got).take(3)}")
+    // write-path evidence: a committed snapshot whose per-bucket manifest
+    // counts cover exactly the returned rows
+    assert(TableFormat.currentVersion(dir).contains(1))
+    assert(TableFormat.read(spark, dir).count() == got.size)
+    // a re-run commits a NEW snapshot (full replace) and still reads back
+    // the same rows — the idempotent-regeneration shape
+    val again = Dedup.keepTable(spark, sfDir, tableDir = Some(dir))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(TableFormat.currentVersion(dir).contains(2))
+    assert(again == want)
+    graft.io.Scratch.deleteRecursively(dir)
+  }
+
   test("lshTopK multi-probe recall@5 vs bruteTopK is >= 0.9 mean, >= 0.8 per query") {
     val brute = Ann.bruteTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
