@@ -52,7 +52,12 @@ object SparkEntry {
     "st_windowed" -> ((s, d) =>
       graft.streaming.StreamingValidation.windowedVerdictsBatch(s, d)),
     "st_lww" -> ((s, d) =>
-      graft.streaming.StreamingValidation.lwwDedupBatch(s, d))
+      graft.streaming.StreamingValidation.lwwDedupBatch(s, d)),
+    // append-mode watermark semantics under the driver gate (round-5 ask:
+    // the genuinely streaming behaviors — state eviction, closed-window
+    // emission — asserted against an oracle, not just ScalaTest)
+    "st_append" -> ((s, d) =>
+      graft.streaming.StreamingValidation.windowedVerdictsAppend(s, d))
   )
 
   def oracleSql: Map[String, String] =

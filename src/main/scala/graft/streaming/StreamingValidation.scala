@@ -126,6 +126,33 @@ object StreamingValidation {
     detachSink(spark, nm)
   }
 
+  /** Driver-oracle surface for APPEND-mode watermark semantics
+    * (st_append): the same [[windowedVerdicts]] aggregation run to
+    * completion with `outputMode("append")` — the mode a production
+    * deployment actually uses (state is evicted as the watermark passes;
+    * only CLOSED windows are ever emitted). With Trigger.AvailableNow the
+    * final no-data micro-batch advances the watermark to
+    * max(event time) - 2h and flushes every window it has passed, so the
+    * emitted set is deterministic: exactly the windows whose end <= that
+    * final watermark — which is what the DuckDB replay computes. Windows
+    * the final watermark has NOT passed are deliberately absent (the
+    * difference vs st_windowed's complete mode, which emits all of them).
+    * Same bounded-sink caveat as the other st_* surfaces. */
+  def windowedVerdictsAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val nm = s"st_append_${sinkId.incrementAndGet()}"
+    val q = windowedVerdicts(spark, sfDir)
+      .select(
+        floor(unix_timestamp(col("window_start")) / 3600).cast("long").as("hour_id"),
+        col("event_type"), col("n_rows"), col("n_invalid"))
+      .writeStream.format("memory").queryName(nm)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    detachSink(spark, nm)
+  }
+
   /** Copy the (bounded — see the scale notes) sink contents into a local
     * frame and DROP the memory-sink temp view: repeated invocations in one
     * session (the Bench warmup + 2 passes) would otherwise accumulate
@@ -179,6 +206,19 @@ object StreamingValidation {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "st_lww" ->
       """SELECT user_id, max(event_id) AS kept_event_id
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    // append mode emits exactly the windows the FINAL watermark
+    // (max event time - 2h, millisecond precision) has passed:
+    // window end <= watermark. The replay filters whole WINDOWS (not
+    // events) — every event still aggregates into its window; the window
+    // row itself is present iff it closed.
+    "st_append" ->
+      """WITH wm AS (SELECT max(epoch_ms(ts)) - 7200000 AS w FROM events)
+        |SELECT cast(floor(epoch(ts) / 3600) AS BIGINT) AS hour_id, event_type,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN NOT (event_id % 5 = 4 AND json_valid(props)) THEN 1 END) AS n_invalid
+        |FROM events, wm
+        |WHERE (floor(epoch(ts) / 3600) + 1) * 3600 * 1000 <= w
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -52,6 +52,60 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed rows disagree with batch: ${streamed.diff(batch).take(3)}")
   }
 
+  test("watermark evicts state, drops late rows, and append emits only closed windows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)] // (epoch seconds, event_type)
+    val agg = mem.toDF().toDF("sec", "event_type")
+      .select(timestamp_seconds(col("sec")).as("ts"), col("event_type"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_rows"))
+      .select((unix_timestamp(col("window.start")) / 3600).cast("long").as("hour_id"),
+        col("event_type"), col("n_rows"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    def h(hours: Long, min: Long = 0): Long = hours * 3600 + min * 60
+    try {
+      // batch 1: hours 0 (x2) and 1 — watermark still below every window
+      // end, so append emits NOTHING yet
+      mem.addData((h(0, 10), "a"), (h(0, 20), "a"), (h(1, 30), "a"))
+      q.processAllAvailable()
+      assert(spark.table("late_test").count() == 0,
+        "append emitted a window the watermark had not closed")
+      // batch 2: an event at 04:30 advances the watermark to 02:30 —
+      // hour-0 and hour-1 windows (ends 01:00, 02:00) close and emit, with
+      // their state evicted
+      mem.addData((h(4, 30), "a"))
+      q.processAllAvailable()
+      val afterClose = spark.table("late_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(afterClose == Set((0L, "a", 2L), (1L, "a", 1L)),
+        s"closed-window emission wrong: $afterClose")
+      // batch 3: a LATE row for hour 0 — older than the 02:30 watermark —
+      // must be DROPPED (state already evicted; no re-emission, no count
+      // change), and the engine must record the drop
+      mem.addData((h(0, 40), "a"))
+      q.processAllAvailable()
+      assert(spark.table("late_test").count() == 2, "late row changed the output")
+      val dropped = q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, s"engine did not record a watermark drop (dropped=$dropped)")
+      // batch 4: advancing the watermark past hour 4 closes that window
+      // with the on-time count only; hour 9 stays open (never emitted)
+      mem.addData((h(9), "a"))
+      q.processAllAvailable()
+      val fin = spark.table("late_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(fin.sorted == Seq((0L, "a", 2L), (1L, "a", 1L), (4L, "a", 1L)),
+        s"final append log wrong: $fin")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("late_test")
+    }
+  }
+
   test("stateful LWW dedup stream converges to the batch max per key") {
     val q = StreamingValidation.lwwDedupStream(spark, sfDir)
       .writeStream.outputMode("update")
