@@ -253,6 +253,42 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("LeftOuter"), s"ref presence join missing:\n$plan")
   }
 
+  test("violations plan at N=2 refs: still one wide scan, N+2 scans total") {
+    // the fused one-wide-scan shape must hold for ARBITRARY ref counts:
+    // each extra RefIntegrity adds exactly one key-pruned ref-build scan
+    // and one presence left-join on the SAME wide pass — never a second
+    // scan of the wide columns (round-5 stretch; generalizes the N=1
+    // assertion above)
+    import graft.dsl._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tworef").toString
+    try {
+      // second, differently-keyed ref: a codec registry with mp3 absent,
+      // so the added check provably fires
+      spark.createDataFrame(Seq(Tuple1("pcm_s16le"), Tuple1("flac"), Tuple1("opus")))
+        .toDF("codec").write.mode("overwrite").parquet(dir)
+      val s0 = ClipQueries.suite(spark, sfDir)
+      val suite2 = s0.copy(
+        checks = s0.checks :+ RefIntegrity("codec", "codec_registry"),
+        refs = s0.refs + ("codec_registry" -> spark.read.parquet(dir)))
+      val v = graft.compile.CheckCompiler.violations(
+        graft.clips.ClipsTable.base(spark, sfDir), suite2)
+      val rows = v.collect()
+      assert(rows.exists(_.getString(1) == "ref_codec_codec_registry"),
+        "second ref check produced no violations — fixture is vacuous")
+      // baseline checks unchanged by the extra ref
+      val base = ClipQueries.violations(spark, sfDir).count()
+      assert(rows.count(_.getString(1) != "ref_codec_codec_registry") == base)
+      val plan = v.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(!plan.contains("Window"), s"window in two-ref plan:\n$plan")
+      val scanLines = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+      assert(scanLines.count(_.contains("o_orderpriority")) == 1,
+        s"wide columns scanned more than once:\n$plan")
+      // 1 wide pass + 2 ref builds + 1 uniqueness agg = 4
+      assert(scanLines.size == 4,
+        s"expected 4 parquet scans (1 wide + 3 key-pruned):\n$plan")
+    } finally graft.io.Scratch.deleteRecursively(dir)
+  }
+
   test("bench action: noop-sink write retains the projection count() prunes") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener

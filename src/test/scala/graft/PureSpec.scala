@@ -25,6 +25,31 @@ class PureSpec extends AnyFunSuite {
     assert(sBad > 5.0 && sBad < 15.0, s"bad snr=$sBad")
   }
 
+  test("fast Chebyshev kernel is invariant-equivalent to the StrictMath kernel") {
+    val buf = new Array[Byte](64 * 1024)
+    for (seed <- Seq(7L, 123L, 599L); sr <- Seq(8000, 44100); dur <- Seq(20, 260)) {
+      val len = Wav.synthInto(buf, seed, seed, sr, dur, Wav.CleanSnrDb, 0, fast = true)
+      val (fastSnr, n1) = Wav.validateVsClean(buf, len, seed, fast = true)
+      val (slowSnr, n2) = Wav.validateVsClean(buf, len, seed, fast = false)
+      assert(n1 == n2)
+      // recurrence error (~1e-9 over the longest clip) is far below the
+      // PCM16 quantization floor, so both kernels agree on the invariant
+      // and nearly agree on the number
+      assert(fastSnr >= 30 && slowSnr >= 30, s"clean snr fast=$fastSnr slow=$slowSnr")
+      assert(math.abs(fastSnr - slowSnr) < 0.1, s"fast=$fastSnr slow=$slowSnr")
+      // planted corrupt rows trip the invariant under the fast kernel too
+      val lenB = Wav.synthInto(buf, seed, seed, sr, dur, Wav.CorruptSnrDb, 0, fast = true)
+      assert(Wav.validateVsClean(buf, lenB, seed, fast = true)._1 < 30)
+    }
+    // cross-kernel: fast-synth bytes validated by the slow kernel (and the
+    // reverse) still clear SNR>=30 — the kernels are interchangeable at
+    // the invariant-contract level, so a mixed fleet cannot misclassify
+    val len = Wav.synthInto(buf, 42L, 42L, 44100, 260, Wav.CleanSnrDb, 0, fast = false)
+    assert(Wav.validateVsClean(buf, len, 42L, fast = true)._1 >= 30)
+    val len2 = Wav.synthInto(buf, 42L, 42L, 44100, 260, Wav.CleanSnrDb, 0, fast = true)
+    assert(Wav.validateVsClean(buf, len2, 42L, fast = false)._1 >= 30)
+  }
+
   test("synthesis is byte-deterministic") {
     val a = Wav.synth(99, 99, 44100, 50)
     val b = Wav.synth(99, 99, 44100, 50)
