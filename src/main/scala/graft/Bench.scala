@@ -48,7 +48,7 @@ object Bench {
     * expression at all. The noop DSv2 sink consumes EVERY output column
     * (plan retention is asserted in EngineSpec's bench-action test) while
     * writing nothing. */
-  private def force(df: org.apache.spark.sql.DataFrame): Unit =
+  private[graft] def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
   def main(args: Array[String]): Unit = {
@@ -100,8 +100,13 @@ object Bench {
             " silently re-absorb the materialization retry)")
           false
         }
+      // smoke-run guard: when sfDir == warmSf the warmup above already
+      // materialized this very dir, so the timed call is a cache hit and
+      // the entry would be a vacuous near-zero — drop it (the real bench
+      // scale never equals the warmup dir)
       val auMaterialize =
-        if (auOk) Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
+        if (auOk && sfDir != warmSf)
+          Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
         else Seq.empty
       val sweepQueries =
         if (auOk) SparkEntry.queries

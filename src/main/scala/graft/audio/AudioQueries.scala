@@ -108,15 +108,9 @@ object AudioQueries {
     * materialized table on the input snapshot id instead). Temp dirs are
     * removed by a shutdown hook. */
   private val sharedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def deleteRecursively(d: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } catch { case _: Throwable => () }
   locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      sharedDirs.values.forEach(deleteRecursively)))
+      sharedDirs.values.forEach(graft.io.Scratch.deleteRecursively(_))))
   }
   def measuredShared(spark: SparkSession, sfDir: String): Dataset[ClipMeasure] = {
     import spark.implicits._
@@ -127,7 +121,7 @@ object AudioQueries {
       // before rethrowing (round-4 advice: each retry otherwise leaks
       // another orphan temp dir)
       try measured(spark, sfDir).toDF().write.mode("overwrite").parquet(d)
-      catch { case e: Throwable => deleteRecursively(d); throw e }
+      catch { case e: Throwable => graft.io.Scratch.deleteRecursively(d); throw e }
       d
     })
     spark.read.parquet(dir).as[ClipMeasure]

@@ -67,12 +67,16 @@ object CheckCompiler {
     // but without re-scanning the input once per ref table. Each struct
     // carries its own id so ref violations keep reporting the checked
     // column's value (which for a key-typed ref check is the suite key).
-    // The id field of EVERY struct is pinned to the suite key's type: the
-    // structs share one array(), so a ref column typed differently from
-    // the key would otherwise let Spark's array type coercion silently
-    // widen clip_id (or fail analysis) and change the violations schema
-    // relative to the old per-branch union (round-4 advice).
-    val keyType = df.schema(suite.keyColumn).dataType
+    // The id field of EVERY struct is pinned to STRING: the structs share
+    // one array(), so a ref column typed differently from the key would
+    // otherwise let Spark's array type coercion silently widen clip_id
+    // (or fail analysis) and change the violations schema relative to the
+    // old per-branch union (round-4 advice). String, NOT the key's type:
+    // any value casts to string totally, while casting a mismatched ref
+    // value INTO the key's type throws under Spark 4's default ANSI mode
+    // on exactly the violating rows (or nulls the reported value with
+    // ANSI off) — and string is what the empty-suite fallback schema
+    // below already declares for clip_id.
     val perRow: Option[DataFrame] =
       if (suite.rowChecks.isEmpty && suite.refChecks.isEmpty) None
       else Some {
@@ -86,7 +90,7 @@ object CheckCompiler {
         val rowStructs = suite.rowChecks.map { c =>
           when(c.failWhen,
             struct(
-              key.cast(keyType).as("id"),
+              key.cast("string").as("id"),
               lit(c.name).as("check_name"),
               lit(c.column).as("column_name"),
               coalesce(c.detail, lit("")).as("detail")))
@@ -94,7 +98,7 @@ object CheckCompiler {
         val refStructs = suite.refChecks.map { r =>
           when(col(s"__refk_${r.name}").isNull,
             struct(
-              col(r.column).cast(keyType).as("id"),
+              col(r.column).cast("string").as("id"),
               lit(r.name).as("check_name"),
               lit(r.column).as("column_name"),
               lit("missing_ref").as("detail")))
@@ -114,7 +118,9 @@ object CheckCompiler {
       scope.map(b => grouped.filter(col("__owner").isin(b: _*)))
         .getOrElse(grouped)
         .select(
-          col("clip_id"),
+          // same string pinning as the fused structs: unionByName below
+          // would otherwise type-coerce the whole column anyway
+          col("clip_id").cast("string").as("clip_id"),
           lit(u.name).as("check_name"),
           lit(u.column).as("column_name"),
           col("cnt").cast("string").as("detail"),

@@ -111,15 +111,22 @@ object StreamingValidation {
     * A production deployment points the same [[windowedVerdicts]] frame at
     * a parquet/Kafka sink with append mode and lets the watermark expire
     * state; nothing in the transform changes. */
-  def windowedVerdictsBatch(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowedVerdictsBatch(spark: SparkSession, sfDir: String): DataFrame =
+    runWindowedToCompletion(spark, sfDir, "st_windowed", "complete")
+
+  /** Shared run-to-completion plumbing for the two windowed driver
+    * surfaces — one body so the hour_id convention, sink handling, and
+    * trigger can never diverge between output modes. */
+  private def runWindowedToCompletion(spark: SparkSession, sfDir: String,
+      prefix: String, mode: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    val nm = s"st_windowed_${sinkId.incrementAndGet()}"
+    val nm = s"${prefix}_${sinkId.incrementAndGet()}"
     val q = windowedVerdicts(spark, sfDir)
       .select(
         floor(unix_timestamp(col("window_start")) / 3600).cast("long").as("hour_id"),
         col("event_type"), col("n_rows"), col("n_invalid"))
       .writeStream.format("memory").queryName(nm)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -138,20 +145,8 @@ object StreamingValidation {
     * the final watermark has NOT passed are deliberately absent (the
     * difference vs st_windowed's complete mode, which emits all of them).
     * Same bounded-sink caveat as the other st_* surfaces. */
-  def windowedVerdictsAppend(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val nm = s"st_append_${sinkId.incrementAndGet()}"
-    val q = windowedVerdicts(spark, sfDir)
-      .select(
-        floor(unix_timestamp(col("window_start")) / 3600).cast("long").as("hour_id"),
-        col("event_type"), col("n_rows"), col("n_invalid"))
-      .writeStream.format("memory").queryName(nm)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    detachSink(spark, nm)
-  }
+  def windowedVerdictsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    runWindowedToCompletion(spark, sfDir, "st_append", "append")
 
   /** Copy the (bounded — see the scale notes) sink contents into a local
     * frame and DROP the memory-sink temp view: repeated invocations in one

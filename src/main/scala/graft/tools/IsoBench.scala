@@ -39,8 +39,9 @@ object IsoBench {
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
-      def force(df: org.apache.spark.sql.DataFrame): Unit =
-        df.write.format("noop").mode("overwrite").save()
+      // literally Bench's action, not a copy — the round-3 count()-prunes-
+      // projections bug class must not be re-fixable in only one place
+      def force(df: org.apache.spark.sql.DataFrame): Unit = graft.Bench.force(df)
       val warmSf = "/root/testdata/sf0.001"
       sel.foreach { case (_, fn) =>
         try force(fn(spark, warmSf)) catch { case _: Throwable => }

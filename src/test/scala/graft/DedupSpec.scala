@@ -168,6 +168,7 @@ class DedupSpec extends AnyFunSuite {
   test("keepTable: canonical docs commit through a snapshot and read back exactly") {
     import graft.io.TableFormat
     val dir = java.nio.file.Files.createTempDirectory("graft-keeptest").toString
+    try {
     val got = Dedup.keepTable(spark, sfDir, tableDir = Some(dir))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     // reference: documents minus non-canonical cluster members, straight
@@ -192,7 +193,9 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(TableFormat.currentVersion(dir).contains(2))
     assert(again == want)
-    graft.io.Scratch.deleteRecursively(dir)
+    // finally, not trailing: a failed assert must not leak the two
+    // committed snapshots past the JVM (dir is not Scratch-registered)
+    } finally graft.io.Scratch.deleteRecursively(dir)
   }
 
   test("lshTopK multi-probe recall@5 vs bruteTopK is >= 0.9 mean, >= 0.8 per query") {
