@@ -82,35 +82,45 @@ object Bench {
         try force(fn(spark, warmSf))
         catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: ${e.getMessage}") }
       }
-      // The au_* family reads a shared materialized `measured`
-      // (AudioQueries.measuredShared — one synth pass, four consumers, the
-      // 100 TB shape). Build it BEFORE the sweep, timed, and report the
-      // cost as its own "au_materialize" entry: built inside the sweep it
-      // would land on whichever au_* query ran first in pass 1 and
-      // min-of-2 would silently drop it. If it fails, the au_* queries are
-      // EXCLUDED from the sweep (loudly): each would retry the
-      // materialization inside its own timed window and silently re-absorb
-      // the cost the dedicated entry exists to account for.
-      val tMat = System.nanoTime()
-      val auOk =
-        try { graft.audio.AudioQueries.measuredShared(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] au_materialize failed: ${e.getMessage}" +
-            " — au_* queries EXCLUDED from this sweep (their timings would" +
-            " silently re-absorb the materialization retry)")
-          false
-        }
-      // smoke-run guard: when sfDir == warmSf the warmup above already
-      // materialized this very dir, so the timed call is a cache hit and
-      // the entry would be a vacuous near-zero — drop it (the real bench
-      // scale never equals the warmup dir)
-      val auMaterialize =
-        if (auOk && sfDir != warmSf)
-          Seq("au_materialize" -> (System.nanoTime() - tMat) / 1e9)
+      // Shared staged materializations — passes several queries consume
+      // (the 100 TB "materialize once" shape): the au_* family reads one
+      // synth+measure pass (AudioQueries.measuredShared) and the MinHash
+      // family (dd_minhash/dd_cluster/dd_contaminate/dd_keep) reads one
+      // verified pair table (Dedup.verifiedPairsShared). Each is built
+      // BEFORE the sweep, timed, and booked as its own entry: built inside
+      // the sweep the cost would land on whichever consumer ran first in
+      // pass 1 and min-of-2 would silently drop it. If a build fails, its
+      // consumers are EXCLUDED from the sweep (loudly): each would retry
+      // the materialization inside its own timed window and silently
+      // re-absorb the cost the dedicated entry exists to account for.
+      // Smoke-run guard: when sfDir == warmSf the warmup above has already
+      // materialized this dir, so the timed call is a cache hit and the
+      // entry would be a vacuous near-zero — the entry is dropped (the
+      // real bench scale never equals the warmup dir).
+      val stagedBuilds: Seq[(String, () => Unit, String => Boolean)] = Seq(
+        ("au_materialize",
+          () => { graft.audio.AudioQueries.measuredShared(spark, sfDir).count(); () },
+          (n: String) => n.startsWith("au_")),
+        ("dd_pairs_materialize",
+          () => { graft.dedup.Dedup.verifiedPairsShared(spark, sfDir).count(); () },
+          Set("dd_minhash", "dd_cluster", "dd_contaminate", "dd_keep")))
+      var excluded: String => Boolean = _ => false
+      val stagedEntries = stagedBuilds.flatMap { case (entry, build, consumers) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { build(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $entry failed: ${e.getMessage}" +
+              " — its consumer queries are EXCLUDED from this sweep (their" +
+              " timings would silently re-absorb the materialization retry)")
+            val prev = excluded
+            excluded = n => prev(n) || consumers(n)
+            false
+          }
+        if (ok && sfDir != warmSf) Seq(entry -> (System.nanoTime() - t0) / 1e9)
         else Seq.empty
-      val sweepQueries =
-        if (auOk) SparkEntry.queries
-        else SparkEntry.queries.filterNot(_._1.startsWith("au_"))
+      }
+      val sweepQueries = SparkEntry.queries.filterNot { case (n, _) => excluded(n) }
       // two full passes, per-query minimum: this host shows transient
       // multi-second throughput dips (tens of seconds long, arbitrary
       // placement — measured by re-running the identical loop and watching
@@ -136,7 +146,7 @@ object Bench {
         }
       }
       spark.stop()
-      (passes.flatten ++ auMaterialize).groupBy(_._1).toSeq.sortBy(_._1)
+      (passes.flatten ++ stagedEntries).groupBy(_._1).toSeq.sortBy(_._1)
         .flatMap { case (name, ts) =>
           val ok = ts.map(_._2).filterNot(_.isNaN)
           if (ok.isEmpty) {

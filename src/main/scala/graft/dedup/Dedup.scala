@@ -342,6 +342,32 @@ object Dedup {
     materializeAndRelease(result, sigs)
   }
 
+  /** Shared materialization of the verified MinHash near-dup PAIR SET —
+    * the dedup family's analogue of the audio layer's measuredShared
+    * (round-4): four driver queries (dd_minhash, dd_cluster,
+    * dd_contaminate, dd_keep) consume the SAME pair graph, so at 100 TB
+    * you run the signature + banding + verify pass ONCE, write the (tiny —
+    * O(reported duplicates)) pair table, and let every downstream step
+    * read it — not once per step. First call per (JVM, sfDir, threshold)
+    * writes the [[minhashLsh]] result to a Scratch-registered temp
+    * parquet; later calls scan it. Bench books the build cost as its own
+    * "dd_pairs_materialize" entry (the au_materialize pattern). Same
+    * input-immutability assumption as measuredShared. */
+  private val pairDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), String]()
+  def verifiedPairsShared(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val dir = pairDirs.computeIfAbsent((sfDir, threshold), _ => {
+      val d = graft.io.Scratch.register("graft-minhash-pairs")
+      val pairs = minhashLsh(spark, sfDir, threshold)
+      try pairs.write.mode("overwrite").parquet(d)
+      catch { case e: Throwable => graft.io.Scratch.deleteRecursively(d); throw e }
+      finally pairs.unpersist(false)
+      d
+    })
+    spark.read.parquet(dir)
+  }
+
   /** Cross-split near-duplicate CONTAMINATION: verified MinHash near-dup
     * pairs that straddle an ID-BASED train/test boundary (test =
     * doc_id % 10 == 0) — the leakage an id/positional split admits and
@@ -351,7 +377,7 @@ object Dedup {
   def contamination(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
     val testA = col("id_a") % 10 === 0
     val testB = col("id_b") % 10 === 0
-    minhashLsh(spark, sfDir, threshold)
+    verifiedPairsShared(spark, sfDir, threshold)
       .filter(testA =!= testB)
       .select(col("id_a"), col("id_b"), col("jaccard"),
         when(testA, col("id_a")).otherwise(col("id_b")).as("test_doc"))
@@ -362,12 +388,9 @@ object Dedup {
     * step a dedup pipeline actually keeps ("one canonical doc per cluster").
     * Deterministic, so the DuckDB oracle replays it as a recursive
     * transitive closure. */
-  def minhashClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame = {
-    val lsh = minhashLsh(spark, sfDir, threshold)
-    val out = connectedComponents(lsh.select("id_a", "id_b"))
-    lsh.unpersist(false) // out is materialized; the pair cache can go
-    out
-  }
+  def minhashClusters(spark: SparkSession, sfDir: String, threshold: Double = 0.7): DataFrame =
+    connectedComponents(
+      verifiedPairsShared(spark, sfDir, threshold).select("id_a", "id_b"))
 
   /** The dedup pipeline's actual OUTPUT — the "keep" table: one canonical
     * document per verified near-dup cluster (the cluster's minimum doc_id,

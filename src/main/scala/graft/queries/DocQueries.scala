@@ -16,7 +16,7 @@ object DocQueries {
     "dd_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dd_token_jaccard" -> ((s, d) => Dedup.tokenJaccard(s, d)),
     "dd_ngram" -> ((s, d) => Dedup.ngramJaccard(s, d)),
-    "dd_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dd_minhash" -> ((s, d) => Dedup.verifiedPairsShared(s, d)),
     "dd_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dd_embed_cosine" -> ((s, d) => Ann.cosinePairs(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteTopK(s, d)),
