@@ -24,7 +24,7 @@ object Bench {
       nClips: Long, nBad: Long, secLo: Double, cpsLo: Double,
       secHi: Double, cpsHi: Double, efficiency: Double,
       controlBefore: Double, controlAfter: Double,
-      gcMsLo: Long = 0L, gcMsHi: Long = 0L) {
+      gcMsLo: Long = 0L, gcMsHi: Long = 0L, medianEfficiency: Double = 0.0) {
     def control: Double = math.min(controlBefore, controlAfter)
   }
 
@@ -207,19 +207,25 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
     }
-    // Asymmetric sampling (round-5): across every recorded run this round
-    // the LO level was stable to ~2% (10.8-11.0k cps) while the HI level
-    // swung 30-40k cps on multi-minute host windows that the sin control
-    // does not track (it even anti-correlated once: a 0.93-control attempt
-    // read a slower 4N level than a 0.75-control one). Under the declared
-    // per-level-minimum estimator the remedy is MORE DRAWS of the noisy
-    // level, not result-conditioned retries: each attempt takes `pairs`
-    // interleaved lo/hi samples plus `hiExtra` additional hi samples, all
-    // printed to stderr so every draw is on the record.
-    val hiExtra = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI_EXTRA", "2").toInt
+    // Extra sampling (round-6, per the round-5 advice): the HI level swings
+    // 30-40k cps on multi-minute host windows that the sin control does not
+    // track (round-5 record; it even anti-correlated once: a 0.93-control
+    // attempt read a slower 4N level than a 0.75-control one), so attempts
+    // take extra draws beyond the interleaved pairs — at BOTH levels, the
+    // same count each (round-5 drew the extras only at 4N, which under a
+    // per-level-minimum estimator can only lower secHi and so biased the
+    // efficiency upward). Every draw is printed to stderr so it is on the
+    // record, and the per-level MEDIAN efficiency is reported alongside the
+    // min-based headline as the estimator-bias cross-check.
+    val extra = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTRA", "2").toInt
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     def runScalingOnce(): ScalingResult = {
       val cBefore = cpuControlEfficiency(nLo, nHi)
-      val levels = Seq.fill(pairs)(Seq(nLo, nHi)).flatten ++ Seq.fill(hiExtra)(nHi)
+      val levels = Seq.fill(pairs)(Seq(nLo, nHi)).flatten ++
+        Seq.fill(extra)(Seq(nLo, nHi)).flatten
       val samples = levels.map { c =>
         spark = newSession(c)
         val g0 = gcMs()
@@ -236,9 +242,15 @@ object Bench {
         (c, n, nBad, sec, n / sec, g)
       }
       val Seq((_, nClips, nBad, secLo, cpsLo, gcLo), (_, _, _, secHi, cpsHi, gcHi)) = scaling
+      val medEff = {
+        val Seq(mLo, mHi) = Seq(nLo, nHi).map { c =>
+          median(samples.collect { case (`c`, r, _) => r._1 / r._3 })
+        }
+        (mHi / mLo) / 4.0
+      }
       val cAfter = cpuControlEfficiency(nLo, nHi)
       ScalingResult(nClips, nBad, secLo, cpsLo, secHi, cpsHi,
-        (cpsHi / cpsLo) / 4.0, cBefore, cAfter, gcLo, gcHi)
+        (cpsHi / cpsLo) / 4.0, cBefore, cAfter, gcLo, gcHi, medEff)
     }
     val attempts = scala.collection.mutable.ArrayBuffer(runScalingOnce())
     while (attempts.last.control < HealthyControl && attempts.size < maxAttempts) {
@@ -251,7 +263,8 @@ object Bench {
     // control (== the only/last attempt unless all were degraded)
     val rec = attempts.maxBy(_.control)
     val hostDegraded = rec.control < HealthyControl
-    val ScalingResult(nClips, nBad, secLo, cpsLo, secHi, cpsHi, efficiency, _, _, _, _) = rec
+    val (nClips, nBad, secLo, cpsLo, secHi, cpsHi, efficiency) =
+      (rec.nClips, rec.nBad, rec.secLo, rec.cpsLo, rec.secHi, rec.cpsHi, rec.efficiency)
     val controlEff = rec.control
 
     // 2. second scaling axis: vary DATA SIZE at fixed cores (local[4N]) —
@@ -339,10 +352,12 @@ object Bench {
          |parallelism levels local[$nLo] vs local[$nHi] (the driver-sanctioned
          |"N and 4N cores" stand-in for N vs 4N executors; 32 physical cores).
          |Per-level minimum over $pairs interleaved runs per level plus
-         |$hiExtra extra 4N draws — the 4N level is sampled more because it
-         |is the noisy one (the N level repeats within ~2%% while 4N swings
-         |with multi-minute host windows the pure-CPU control cannot see;
-         |every draw is printed in the run log). First pair warms JIT/page
+         |$extra extra draws at EACH level — the same count per level, so
+         |the extra sampling cannot one-sidedly lower the noisier level's
+         |minimum (round-5 drew extras only at 4N, which under a per-level
+         |minimum estimator biases efficiency upward; every draw is printed
+         |in the run log, and the per-level MEDIAN efficiency is reported
+         |below as the estimator cross-check). First pair warms JIT/page
          |cache; the JVM runs with a fixed GC/JIT background-thread budget
          |so helper threads do not scale with the level (build.sbt); GC wall
          |per recorded sample is in the JSON line. The scaling section
@@ -357,7 +372,10 @@ object Bench {
          || local[$nHi] | $secHi%.2f | $cpsHi%.0f |
          |
          |**Scaling efficiency (throughput_4N / throughput_N) / 4 =
-         |$efficiency%.3f**, which $criterionLine.
+         |$efficiency%.3f**, which $criterionLine. The same attempt's
+         |per-level MEDIAN estimator reads ${rec.medianEfficiency}%.3f —
+         |reported so the min-based headline can be checked against an
+         |estimator that extra draws cannot bias downward-only.
          |
          |@POLICY_NOTE@
          |
@@ -370,12 +388,16 @@ object Bench {
          |
          |Hardware control, same run: a pure-CPU StrictMath.sin loop (no Spark,
          |no allocation, no shared state) at the same two thread counts scales
-         |at **$controlEff%.3f** (min of before/after brackets) — the host's
-         |own ceiling from active-core frequency behavior. 8->32 threads this
-         |control drops to ~0.70-0.79 on this virtualized host, which is why
-         |the criterion runs at N=$nLo: it keeps the measurement about the
+         |at **$controlEff%.3f** (min of before/after brackets) — a
+         |latency-bound yardstick for the host's active-core frequency
+         |behavior, NOT a hard ceiling: it is blind to memory-side host
+         |windows (bandwidth/steal), so the engine's ratio to it can
+         |legitimately exceed 1 when such a window depresses the control's
+         |bracket more than the samples. 8->32 threads this control drops
+         |to ~0.70-0.79 on this virtualized host, which is why the
+         |criterion runs at N=$nLo: it keeps the measurement about the
          |engine, not the clock governor. The pipeline's efficiency relative
-         |to the hardware ceiling is
+         |to the control is
          |${if (controlEff > 0) f"${efficiency / controlEff}%.3f" else "n/a"}.
          |
          |Second scaling axis — data size at fixed cores (local[$nHi], best of
@@ -420,20 +442,25 @@ object Bench {
       if (scalingOnly) Seq.empty else perQuerySweep()
     val sweepMopsAfter = if (scalingOnly) 0.0 else cpuRateMops(cpus)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // JSON line layout (round-6, the round-5 top defect): round-5's line
+    // grew to ~3.1 KB (9-decimal per-query seconds x 50 entries + the
+    // per-attempt array) and outgrew the driver's tail-capture window, so
+    // BENCH_r05.json recorded `parsed: null`. The line now holds 3-decimal
+    // seconds, attempts COUNT only (the per-attempt table lives in
+    // BENCH.md, written above), and is printed last, alone, as the final
+    // stdout line. Budget: ~50 query entries x ~24 chars + ~0.4 KB of
+    // scaling/size/control fields ~= 1.7 KB, well inside the window.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val attemptsJson = attempts.map { a =>
-      f"""{"efficiency":${a.efficiency}%.3f,"control_before":${a.controlBefore}%.3f,"control_after":${a.controlAfter}%.3f}"""
-    }.mkString("[", ",", "]")
     val scal =
-      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"cpu_control_eff":$controlEff%.3f,"host_degraded":$hostDegraded,"gc_ms_n":${rec.gcMsLo},"gc_ms_n4":${rec.gcMsHi},"attempts":$attemptsJson}"""
+      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"med_efficiency":${rec.medianEfficiency}%.3f,"cpu_control_eff":$controlEff%.3f,"host_degraded":$hostDegraded,"gc_ms_n":${rec.gcMsLo},"gc_ms_n4":${rec.gcMsHi},"attempts_n":${attempts.size}}"""
     val sizes = sizeAxis.map { case (k, n, sec, cps) =>
-      f"""{"replicate":$k,"clips":$n,"sec":$sec%.3f,"cps":$cps%.1f}"""
+      f"""{"replicate":$k,"clips":$n,"sec":$sec%.2f,"cps":$cps%.0f}"""
     }.mkString("[", ",", "]")
     val sweepCtl =
       f"""{"mops_before":$sweepMopsBefore%.1f,"mops_after":$sweepMopsAfter%.1f}"""
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl}""")
   }
 
   private def cpuRun(threads: Int, work: Long): Double = {
@@ -467,9 +494,13 @@ object Bench {
   }
 
   /** Pure-CPU scaling control: StrictMath.sin loops on raw JVM threads at
-    * the two levels — no Spark, no allocation, no shared state. Whatever
-    * this measures is the HOST's parallel-scaling ceiling (frequency
-    * governor, hypervisor contention); the engine cannot exceed it. */
+    * the two levels — no Spark, no allocation, no shared state. It tracks
+    * the host's active-core frequency/hypervisor-contention behavior, but
+    * it is a latency-bound LOWER-FIDELITY yardstick, not a hard ceiling:
+    * it cannot see memory-side host windows (bandwidth, steal), so the
+    * engine's measured efficiency can legitimately exceed it when such a
+    * window hits the control's bracket harder than the samples (observed
+    * round-5: engine 0.902 over control 0.862). */
   private def cpuControlEfficiency(nLo: Int, nHi: Int): Double = {
     def rate(threads: Int, work: Long): Double = cpuRate(threads, work)
     rate(nHi, 10000000L) // warmup

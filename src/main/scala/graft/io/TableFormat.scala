@@ -112,6 +112,28 @@ object TableFormat {
       .toSeq.sorted
   }
 
+  /** Expire all but the newest `keep` snapshots — the Iceberg
+    * `expire_snapshots` analogue: deletes the manifest files of expired
+    * versions and every data dir no RETAINED snapshot references (append
+    * snapshots carry dirs forward, so reference-counting against the kept
+    * manifests is required — a dir age alone is not droppable). Time
+    * travel to expired versions is gone by design; callers that need
+    * history (the DedupSpec idempotent-regeneration test) simply don't
+    * call this. */
+  def expireSnapshots(table: String, keep: Int = 1): Unit = {
+    val all = snapshots(table)
+    val (expired, kept) = all.splitAt(math.max(0, all.size - keep))
+    if (expired.nonEmpty) {
+      val referenced = kept.flatMap(v => dataDirs(table, v)).toSet
+      expired.foreach { v =>
+        dataDirs(table, v).filterNot(referenced).foreach { d =>
+          graft.io.Scratch.deleteRecursively(Paths.get(table, d).toString)
+        }
+        Files.deleteIfExists(metaDir(table).resolve(s"snap-$v.json"))
+      }
+    }
+  }
+
   /** Read a snapshot (latest by default) — the union of every data dir in
     * its manifest. Filters on the partition column prune at the directory
     * level (Spark partition discovery). */

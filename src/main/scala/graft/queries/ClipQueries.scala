@@ -144,7 +144,17 @@ object ClipQueries {
       .groupBy("bin").agg(
         count(when(col("ord") % 2 === 0, 1)).as("a"),
         count(when(col("ord") % 2 === 1, 1)).as("b"))
-    val rows = binned.orderBy("bin").collect() // O(bins) — see scaladoc
+    // loud guard (round-6, per the round-5 advice): the safe-by-construction
+    // claim above rests on the dur_ms in [20,500) generator invariant — a
+    // future fixture or corrupted dur_ms column would otherwise grow this
+    // driver collect unboundedly and SILENTLY. limit(65) bounds what can
+    // ever reach the driver (collect-then-check would defeat the guard);
+    // exactly 64 bins can exist under the invariant, so 65 rows = breach.
+    val rows = binned.orderBy("bin").limit(65).collect() // O(bins) — see scaladoc
+    require(rows.length <= 64,
+      "driftKs: >64 dur_ms bins — the <=64 bound the driver-side cumsum " +
+        "assumes is breached (dur_ms outside [20,500)?); refusing to " +
+        "collect an unbounded bin set to the driver")
     val na = rows.map(_.getLong(1)).sum.toDouble
     val nb = rows.map(_.getLong(2)).sum.toDouble
     var ca = 0L; var cb = 0L; var ks = 0.0

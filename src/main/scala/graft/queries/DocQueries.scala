@@ -113,10 +113,12 @@ object DocQueries {
         |)
         |SELECT id_a, id_b, round(cos, 4) AS cos FROM p WHERE cos >= 0.4""".stripMargin,
     // MinHash-LSH emits LSH-surfaced candidate pairs verified by exact
-    // shingle Jaccard; on this corpus LSH recall is 1 (16 bands x 4 rows at
-    // J>=0.7: miss prob < 1e-3 per pair, verified empirically at sf0.01 and
-    // sf0.1), so the oracle is the full true-Jaccard pair set computed from
-    // 3-word shingles in plain SQL.
+    // shingle Jaccard; on this corpus LSH recall is 1 (16 bands x 4 rows:
+    // per-pair miss is 1-(1-J^4)^16 — ~1.2e-2 AT J=0.7 exactly, ~2e-4 by
+    // J=0.8, measured against seeded threshold-adjacent pairs in
+    // DedupSpec's recall property — and the corpus identity is verified
+    // empirically at sf0.01 and sf0.1), so the oracle is the full
+    // true-Jaccard pair set computed from 3-word shingles in plain SQL.
     "dd_minhash" ->
       s"""WITH $MinhashPairCtes
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM pairs""".stripMargin,

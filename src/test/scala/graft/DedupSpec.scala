@@ -36,6 +36,52 @@ class DedupSpec extends AnyFunSuite {
     assert(bandMatch, "no LSH band collision for a 0.8+ jaccard pair")
   }
 
+  test("LSH candidate gate: measured recall on threshold-adjacent pairs meets the documented bound") {
+    // The in-code candidate-gate analysis (Dedup.scala, ngramJaccard /
+    // minhashLsh scaladocs) claims per-pair miss probabilities from the
+    // banding formula p_hit(J) = 1 - (1 - J^r)^b with r=4, b=16 — stated
+    // in prose until now (the round-5 advice: verify the numbers, don't
+    // assert them). This property MEASURES the gate's recall on a seeded
+    // ADVERSARIAL corpus: pairs sitting AT the declared thresholds (the
+    // worst J the gate must still catch — recall is lowest there), with
+    // exact set Jaccard by construction (|A|=|B|=100 shingles, |A∩B|=k
+    // => J = k/(200-k)), and asserts measured recall >= the documented
+    // bound minus 3 binomial sigmas.
+    val rnd = new scala.util.Random(42)
+    val r = Dedup.NumHashes / Dedup.Bands // 4 rows per band
+    val b = Dedup.Bands // 16
+    def bandsCollide(sa: Array[Long], sb: Array[Long]): Boolean = {
+      val ga = Dedup.signature(sa)
+      val gb = Dedup.signature(sb)
+      (0 until b).exists(i => (i * r until (i + 1) * r).forall(j => ga(j) == gb(j)))
+    }
+    def pairAt(n: Int, k: Int): (Array[Long], Array[Long]) = {
+      val shared = Array.fill(k)(rnd.nextLong())
+      (shared ++ Array.fill(n - k)(rnd.nextLong()),
+        shared ++ Array.fill(n - k)(rnd.nextLong()))
+    }
+    val trials = 2000
+    // k chosen so J lands just ON the threshold: dd_minhash gates at 0.7
+    // (J=83/117=0.7094), dd_ngram at 0.8 (J=89/111=0.8018)
+    for ((threshold, k) <- Seq((0.7, 83), (0.8, 89))) {
+      val j = k.toDouble / (200 - k)
+      assert(j >= threshold && j < threshold + 0.02, s"seed pair J=$j not at threshold $threshold")
+      val pHit = 1 - math.pow(1 - math.pow(j, r), b)
+      val hits = (1 to trials).count { _ =>
+        val (sa, sb) = pairAt(100, k)
+        assert(math.abs(Dedup.exactJaccard(sa, sb) - j) < 1e-9)
+        bandsCollide(sa, sb)
+      }
+      val recall = hits.toDouble / trials
+      val sigma = math.sqrt(pHit * (1 - pHit) / trials)
+      info(f"J=$j%.4f: measured recall $recall%.4f vs documented bound $pHit%.4f (3 sigma = ${3 * sigma}%.4f)")
+      assert(recall >= pHit - 3 * sigma,
+        f"measured recall $recall%.4f below documented bound $pHit%.4f - 3 sigma " +
+          f"at J=$j%.4f — the fixed linear hash family underperforms the " +
+          "banding analysis the scaladocs cite")
+    }
+  }
+
   test("minhash estimates jaccard within 0.15") {
     val t1 = (words ++ words ++ words).mkString(" ")
     val t2 = (words ++ words ++ words).updated(3, "YY").updated(20, "ZZ").mkString(" ")

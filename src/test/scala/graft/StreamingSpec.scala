@@ -127,6 +127,56 @@ class StreamingSpec extends AnyFunSuite {
       s"diff: ${last.toSet.diff(batch.toSet).take(3)} / ${batch.toSet.diff(last.toSet).take(3)}")
   }
 
+  test("LWW state TTL: a stale key is evicted and re-emits as new on reappearance") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val ss: SparkSession = spark
+    val mem = MemoryStream[(Long, Long, Long)] // (user_id, event_id, epoch sec)
+    val in = mem.toDF().toDF("user_id", "event_id", "sec")
+      .select(col("user_id"), col("event_id"), timestamp_seconds(col("sec")).as("ts"))
+    val q = StreamingValidation.lwwDedupTransform(in, retentionMs = 3600 * 1000L)
+      .writeStream.outputMode("update").format("memory").queryName("lww_ttl").start()
+    def h(hours: Long): Long = hours * 3600
+    def emitted(): Seq[(Long, Long)] =
+      spark.table("lww_ttl").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    try {
+      // batch 1: key 1 @ hour 1, id 100 — emitted; TTL armed at 02:00
+      // (hour 1, not 0: the initial watermark is 0 and the stateful-op
+      // late filter drops rows with ts <= watermark, so an epoch-0 event
+      // would never reach the state function)
+      mem.addData((1L, 100L, h(1)))
+      q.processAllAvailable()
+      assert(emitted().contains((1L, 100L)))
+      // batch 2: key 2 @ hour 12 — after this batch the watermark advances
+      // to 10:00, past key 1's 02:00 TTL
+      mem.addData((2L, 7L, h(12)))
+      q.processAllAvailable()
+      // batch 3: more key-2 data; key 1 has NO data this batch and its TTL
+      // has expired, so the timeout path fires (hasTimedOut) and REMOVES
+      // key 1's state
+      mem.addData((2L, 8L, h(12)))
+      q.processAllAvailable()
+      // batch 4: key 1 reappears with a SMALLER id (50 < the evicted 100)
+      // at an on-time ts. With the state cell gone it re-emits as NEW —
+      // the pre-TTL NoTimeout state (still holding 100) would have
+      // suppressed exactly this emission, so (1,50) in the log is the
+      // observable proof the TTL dropped the state (the round-5 ask: the
+      // TTL changes state size, never the kept answer — a downstream
+      // converged reduce still keeps max=100)
+      mem.addData((1L, 50L, h(12)))
+      q.processAllAvailable()
+      assert(emitted().contains((1L, 50L)),
+        s"stale key did not re-emit after TTL eviction: ${emitted()}")
+      // converged reduce over the emission log is unchanged by the TTL
+      val converged = emitted().groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(converged == Map(1L -> 100L, 2L -> 8L), s"converged state wrong: $converged")
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("lww_ttl")
+    }
+  }
+
   test("st_lww (driver-oracle surface) converges to the batch max per key") {
     val got = StreamingValidation.lwwDedupBatch(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
