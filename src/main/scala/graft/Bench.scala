@@ -302,6 +302,50 @@ object Bench {
       (for (a <- at; b <- at2) yield (b - a) / a).getOrElse(Double.NaN)
     }
 
+    // 2b. resume-from-checkpoint evidence at bench scale (round-6, the
+    // round-5 stretch ask): the checkpointed Runner at local[4N] over the
+    // same replicated input — (a) a full fresh run of all 32 buckets,
+    // (b) a fresh run killed after 24 buckets (maxBuckets — the crash
+    // stand-in), (c) a resume of (b) completing the remaining 8. The
+    // scoped-input path makes resume PROPORTIONAL: the fused synth pass
+    // runs only for the todo buckets, while uniqueness reads the cheap
+    // full-table metadata lineage (Runner.scopedInput/globalInput). The
+    // resumed wall should therefore sit near
+    // (cheap global scan) + 8/32 x (full synth+write work), far below the
+    // full wall. Skipped in scaling-only stability reruns.
+    val resumeStats: Option[(Double, Double, Double, Int, Int)] =
+      if (scalingOnly) None
+      else Some {
+        spark = newSession(nHi)
+        val suite = ValidationPipeline.fullSuite(spark, sfDir)
+        val globalIn = ValidationPipeline.replicatedBase(spark, sfDir, repl)
+        def timedRun(outDir: String, maxB: Int): (Double, Int) = {
+          val t0 = System.nanoTime()
+          val sum = graft.run.Runner.run(spark,
+            ValidationPipeline.augmented(spark, sfDir, repl), suite, outDir,
+            maxBuckets = maxB,
+            scopedInput =
+              Some(todo => ValidationPipeline.augmented(spark, sfDir, repl, Some(todo))),
+            globalInput = Some(globalIn))
+          ((System.nanoTime() - t0) / 1e9, sum.processed.size)
+        }
+        val dirFull = graft.io.Scratch.register("graft-bench-resume-full")
+        val dirCrash = graft.io.Scratch.register("graft-bench-resume-crash")
+        // untimed 2-bucket warmup on a throwaway dir: the first Runner
+        // invocation absorbs plan-compile/JIT costs that would otherwise
+        // inflate full_sec and FLATTER the resume ratio (measured at smoke
+        // scale: a cold full run read 16.6 s against a warm 24-bucket run
+        // of 5.4 s)
+        timedRun(graft.io.Scratch.register("graft-bench-resume-warm"), 2)
+        val (fullSec, nFull) = timedRun(dirFull, Int.MaxValue)
+        val (crashSec, nCrash) = timedRun(dirCrash, 24)
+        val (resumeSec, nResume) = timedRun(dirCrash, Int.MaxValue)
+        require(nFull == 32 && nCrash == 24 && nResume == 8,
+          s"resume section bucket counts wrong: $nFull/$nCrash/$nResume")
+        spark.stop()
+        (fullSec, crashSec, resumeSec, nCrash, nResume)
+      }
+
     // EVERY sentence below is derived from values measured in THIS run —
     // no frozen cross-round claims (round-4 What's-wrong #1: a hard-coded
     // "all >= 0.8" span survived into a regeneration whose own table read
@@ -408,6 +452,8 @@ object Bench {
          ||---|---|---|
          |@SIZE_ROWS@
          |
+         |@RESUME_MD@
+         |
          |Max spread across sizes: ${f"$sizeSpread%.3f"} (fraction of peak
          |clips/s; small = throughput is row-linear in this regime). At the
          |criterion's operating point, doubling the rows changes clips/s by
@@ -422,6 +468,24 @@ object Bench {
         // margin markers
         .replace("@SIZE_ROWS@", sizeRows)
         .replace("@POLICY_NOTE@", policyNote)
+        .replace("@RESUME_MD@", resumeStats match {
+          case Some((f, c, r, nc, nr)) =>
+            f"""Resume-from-checkpoint, same run (checkpointed Runner at
+               |local[$nHi] over the same input — the north rule's
+               |"resumable from checkpoints", measured at bench scale): a
+               |full fresh run of all 32 buckets took $f%.2f s; a fresh run
+               |killed after $nc buckets took $c%.2f s; resuming it
+               |completed the remaining $nr buckets in $r%.2f s —
+               |${100 * r / f}%.0f%% of the full wall for
+               |${100.0 * nr / 32}%.0f%% of the buckets. Resume re-derives
+               |the expensive fused synth pass ONLY for unfinished buckets
+               |(Runner.scopedInput); the floor under strict
+               |proportionality is the cheap full-table metadata scan the
+               |global uniqueness check irreducibly needs, plus fixed job
+               |overhead.""".stripMargin
+          case None =>
+            "Resume evidence: not measured in this run (scaling-only rerun)."
+        })
     // only the real benchmark scale updates the committed artifact — a
     // smoke run at sf0.001 must not clobber BENCH.md with startup-dominated
     // numbers that say nothing about scaling
@@ -459,8 +523,11 @@ object Bench {
     }.mkString("[", ",", "]")
     val sweepCtl =
       f"""{"mops_before":$sweepMopsBefore%.1f,"mops_after":$sweepMopsAfter%.1f}"""
+    val resumeJson = resumeStats.map { case (f, c, r, nc, nr) =>
+      f""","resume":{"full_sec":$f%.2f,"crash_sec":$c%.2f,"resume_sec":$r%.2f,"crash_buckets":$nc,"resumed_buckets":$nr}"""
+    }.getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl$resumeJson}""")
   }
 
   private def cpuRun(threads: Int, work: Long): Double = {

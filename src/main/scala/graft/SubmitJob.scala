@@ -42,8 +42,16 @@ object SubmitJob {
     val t0 = System.nanoTime()
     val aug = ValidationPipeline.augmented(spark, sfDir)
     val suite = ValidationPipeline.fullSuite(spark, sfDir)
+    // proportional resume (round-6): the expensive fused synth pass runs
+    // only for the todo buckets; the global uniqueness aggregate reads the
+    // cheap metadata lineage instead (Runner.scopedInput scaladoc) — a
+    // resumed invocation's wall tracks the REMAINING fraction, not the
+    // full input
     val summary = Runner.run(spark, aug, suite, outDir,
-      maxBuckets = maxBuckets, snapshotTable = Some(s"$outDir/verdict_table"))
+      maxBuckets = maxBuckets, snapshotTable = Some(s"$outDir/verdict_table"),
+      scopedInput =
+        Some(todo => ValidationPipeline.augmented(spark, sfDir, buckets = Some(todo))),
+      globalInput = Some(ValidationPipeline.replicatedBase(spark, sfDir, 1)))
     val sec = (System.nanoTime() - t0) / 1e9
     val nRows = summary.processed.map(_.nRows).sum
     val nBad = summary.processed.map(_.nBad).sum

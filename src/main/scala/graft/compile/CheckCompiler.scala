@@ -22,6 +22,16 @@ import graft.dsl._
   * Uniqueness violations are attributed to the min bucket of the group
   * (their "owner"), so each is reported exactly once across batches.
   *
+  * `globalDf` (round-6) decouples WHAT the uniqueness aggregate scans from
+  * the (possibly expensive) row-check input: uniqueness only needs the
+  * (key, bucket) columns, so a resume run can feed `df` already scoped to
+  * the unfinished buckets — skipping the expensive derivation (the fused
+  * audio synth pass) for completed buckets — while `globalDf` supplies the
+  * CHEAP full-table metadata lineage the global duplicate count still
+  * requires. When absent, `df` serves both roles (the pre-round-6
+  * behavior). Callers that scope `df` MUST pass a full-table `globalDf`
+  * or cross-bucket duplicates are silently missed (Runner enforces this).
+  *
   * Scale notes (100 TB):
   *   - row checks: zero shuffle, whole-stage-codegen'd `CASE WHEN` chains.
   *   - uniqueness: hash aggregate on the key — Spark's partial aggregation
@@ -54,7 +64,8 @@ object CheckCompiler {
     * idempotently (uniqueness violations are owned by the group's min
     * bucket, same attribution rule the scope filter uses). */
   def violationsWithBucket(df: DataFrame, suite: CheckSuite,
-      scope: Option[Seq[Long]] = None): DataFrame = {
+      scope: Option[Seq[Long]] = None,
+      globalDf: Option[DataFrame] = None): DataFrame = {
     val key = col(suite.keyColumn)
     val bkt = col(suite.bucketColumn)
     val scoped = scope.map(b => df.filter(bkt.isin(b: _*))).getOrElse(df)
@@ -110,7 +121,9 @@ object CheckCompiler {
       }
 
     val uniqViol: Seq[DataFrame] = suite.uniqueChecks.map { u =>
-      val grouped = df.groupBy(col(u.column).as("clip_id"))
+      // global duplicate count over the cheap full-table lineage when the
+      // caller scoped `df` (see the globalDf scaladoc above)
+      val grouped = globalDf.getOrElse(df).groupBy(col(u.column).as("clip_id"))
         .agg(
           count(lit(1)).as("cnt"),
           min(bkt).as("__owner"))
@@ -150,7 +163,8 @@ object CheckCompiler {
   /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
     * its key is duplicated (globally), or its key is missing from the ref
     * table. */
-  def verdicts(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None): DataFrame = {
+  def verdicts(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None,
+      globalDf: Option[DataFrame] = None): DataFrame = {
     val rowBad: Column =
       suite.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
 
@@ -171,7 +185,9 @@ object CheckCompiler {
       // 10^5-duplicate case shows the plan). The join is NULL-SAFE: NULL
       // keys group together like the window did, so duplicate NULLs still
       // flag (and stay consistent with the violations path).
-      val dupKeys = df.groupBy(col(u.column))
+      // same globalDf contract as violationsWithBucket: the duplicate
+      // aggregate must see the FULL keyspace even when `df` is scoped
+      val dupKeys = globalDf.getOrElse(df).groupBy(col(u.column))
         .agg(count(lit(1)).as(s"__cnt_${u.column}"))
         .filter(col(s"__cnt_${u.column}") > 1)
         .select(col(u.column).as(s"__dup_key_${u.column}"))

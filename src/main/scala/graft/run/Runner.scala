@@ -71,7 +71,17 @@ object Runner {
 
   /** Run the suite over `df` (must carry the suite's bucket column),
     * completing at most `maxBuckets` of the remaining buckets (used by
-    * tests to simulate a crash between batches). */
+    * tests to simulate a crash between batches).
+    *
+    * Proportional resume (round-6): by default the batch input is `df` in
+    * full — required when the suite's global checks have no other source.
+    * `scopedInput` instead builds the batch input FROM the todo set, so an
+    * expensive derivation (the fused audio synth) runs only for the
+    * unfinished buckets; `globalInput` then supplies the cheap full-table
+    * lineage the global duplicate aggregate still needs (uniqueness reads
+    * only (key, bucket), so this scan is narrow columnar IO, not the wide
+    * derivation). The pair turns resume cost from O(full input) into
+    * O(cheap full scan + remaining fraction of the expensive pass). */
   def run(
       spark: SparkSession,
       df: DataFrame,
@@ -79,7 +89,12 @@ object Runner {
       outDir: String,
       totalBuckets: Int = 32,
       maxBuckets: Int = Int.MaxValue,
-      snapshotTable: Option[String] = None): RunSummary = {
+      snapshotTable: Option[String] = None,
+      scopedInput: Option[Seq[Long] => DataFrame] = None,
+      globalInput: Option[DataFrame] = None): RunSummary = {
+    require(scopedInput.isEmpty || globalInput.nonEmpty || suite.uniqueChecks.isEmpty,
+      "scopedInput without globalInput would silently miss duplicates spanning " +
+        "a completed and an unfinished bucket — pass the cheap full-table lineage")
     val t0 = System.nanoTime()
     Files.createDirectories(manifestDir(outDir))
     // snapshot table may trail the manifest by one batch after a crash
@@ -100,7 +115,8 @@ object Runner {
     // + audio measurements, no bytes), so at 10^12 rows this is a
     // disk-spillable cache of the cheap columns, not the audio payload;
     // released before returning.
-    val repart = df.repartitionByRange(totalBuckets, col(suite.keyColumn))
+    val batchInput = scopedInput.map(f => f(todo)).getOrElse(df)
+    val repart = batchInput.repartitionByRange(totalBuckets, col(suite.keyColumn))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // outputs are keyed PER BUCKET (dynamic partition overwrite): a retry
@@ -113,11 +129,12 @@ object Runner {
     // unpersist in finally: a throw from either write or the collect must
     // not leak the cached narrow frame for the rest of the session
     val results = try {
-      val violations = CheckCompiler.violationsWithBucket(repart, suite, Some(todo))
+      val violations =
+        CheckCompiler.violationsWithBucket(repart, suite, Some(todo), globalInput)
       violations.write.mode("overwrite").options(dyn)
         .partitionBy("bucket").parquet(s"$outDir/violations")
 
-      val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo))
+      val verdicts = CheckCompiler.verdicts(repart, suite, Some(todo), globalInput)
       verdicts.write.mode("overwrite").options(dyn)
         .partitionBy("bucket").parquet(s"$outDir/verdicts")
 

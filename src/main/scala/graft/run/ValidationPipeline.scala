@@ -132,9 +132,15 @@ object ValidationPipeline {
     * lets the DECLARATIVE Check DSL (and therefore the Runner's
     * checkpointed execution) express the audio invariants as ordinary
     * RowExpr checks over narrow numeric columns. */
-  def augmented(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
+  def augmented(spark: SparkSession, sfDir: String, replicate: Int = 1,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
     import spark.implicits._
-    replicatedBase(spark, sfDir, replicate)
+    // `buckets` prunes BEFORE the opaque typed map: Catalyst cannot push a
+    // bucket filter through mapPartitions, so a resume run passes the todo
+    // set here and the synth pass runs ONLY for unfinished buckets — the
+    // proportional-resume property Bench's resume section measures
+    val base0 = replicatedBase(spark, sfDir, replicate)
+    buckets.map(b => base0.filter(col("bucket").isin(b: _*))).getOrElse(base0)
       .as[ClipMeta]
       .mapPartitions { it =>
         var buf = new Array[Byte](64 * 1024)

@@ -55,6 +55,53 @@ class RunnerSpec extends AnyFunSuite {
     assert(vResumed.toSeq == vOneShot.toSeq)
   }
 
+  test("scoped-input resume: outputs identical, cross-bucket duplicate still caught") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.dsl._
+    // synthetic table over 8 buckets with one duplicate clip_id SPANNING
+    // buckets 1 and 6 — the case a scoped batch input would silently miss
+    // without the cheap full-table globalInput (the Runner guard's reason
+    // to exist): batch 1 (buckets 0-3) owns the dup (min bucket 1) but
+    // its second row lives in bucket 6, outside the batch's scoped input
+    val rows = (0 until 64).map(i => (f"c$i%03d", i.toLong % 8, i.toLong)) ++
+      Seq(("dup", 1L, 100L), ("dup", 6L, 101L))
+    val df = rows.toDF("clip_id", "bucket", "ord")
+    val suite = CheckSuite("clip_id", "bucket", Seq(Unique("clip_id")), Map.empty)
+
+    // one-shot reference (full input, no scoping)
+    val outRef = Files.createTempDirectory("graft-runner-ref").toString
+    Runner.run(spark, df, suite, outRef, totalBuckets = 8)
+
+    // scoped crash -> resume: the batch input carries ONLY todo buckets
+    val out = Files.createTempDirectory("graft-runner-scoped").toString
+    def scoped(todo: Seq[Long]) = df.filter(col("bucket").isin(todo: _*))
+    val r1 = Runner.run(spark, df, suite, out, totalBuckets = 8, maxBuckets = 4,
+      scopedInput = Some(scoped(_)), globalInput = Some(df))
+    assert(r1.processed.map(_.bucket) == Seq(0L, 1L, 2L, 3L))
+    val r2 = Runner.run(spark, df, suite, out, totalBuckets = 8,
+      scopedInput = Some(scoped(_)), globalInput = Some(df))
+    assert(r2.skipped.size == 4 && r2.processed.map(_.bucket) == Seq(4L, 5L, 6L, 7L))
+
+    def verd(o: String) = Runner.verdicts(spark, o)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    def viol(o: String) = Runner.violations(spark, o)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(3))).toSeq.sorted
+    assert(verd(out) == verd(outRef), s"scoped verdicts diverge: ${verd(out)} vs ${verd(outRef)}")
+    assert(viol(out) == viol(outRef))
+    // the cross-bucket dup was reported (owner bucket 1, batch 1) and both
+    // of its rows flagged in their buckets' verdicts
+    assert(viol(out).exists(_._1 == "dup"))
+    assert(verd(out).toSeq.collect { case (b, _, bad, _) if b == 1 || b == 6 => bad }.sum == 2)
+
+    // the guard: scoping without the global lineage is refused loudly
+    val out3 = Files.createTempDirectory("graft-runner-guard").toString
+    intercept[IllegalArgumentException] {
+      Runner.run(spark, df, suite, out3, totalBuckets = 8,
+        scopedInput = Some(scoped(_)))
+    }
+  }
+
   test("verdict snapshots track the manifest, incl. backfill after a trailing crash") {
     val out = Files.createTempDirectory("graft-runner-snap").toString
     val table = Files.createTempDirectory("graft-verdict-table").toString
