@@ -33,6 +33,14 @@ object Bench {
     def control: Double = math.min(controlBefore, controlAfter)
     def minMops: Double = if (stamps.isEmpty) 0.0 else stamps.map(_._1).min
     def minGbs: Double = if (stamps.isEmpty) 0.0 else stamps.map(_._2).min
+    private def med(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0
+      else {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+    def medMops: Double = med(stamps.map(_._1))
+    def medGbs: Double = med(stamps.map(_._2))
   }
 
   private def newSession(cpus: Int): SparkSession = {
@@ -210,16 +218,31 @@ object Bench {
     // see it (the same morning's full-width sin stamp oscillated
     // 650-923 Mops on minute scales), so each attempt now takes a stamp
     // pair (sin Mops at 32 threads + streaming-read GB/s at 24, see
-    // HostProbe) before, between, and after the engine samples, and the
-    // attempt is healthy only if the ratio control AND both min-stamps
-    // clear their thresholds. Thresholds are calibrated against this
-    // host's observed bimodal plateaus (calibration in BASELINE.md:
-    // sin healthy 920-970 Mops vs degraded windows 390-880; streaming-read
-    // healthy ~82-86 GB/s vs degraded 32-64) and env-overridable for a
-    // different host class. Like the ratio gate, the stamp gate is
-    // host-health ONLY — the efficiency number never triggers a retry.
+    // HostProbe) before, between, and after the engine samples. The gate
+    // aggregates the series as MEDIAN >= threshold plus a lower MIN floor
+    // (round-6b refinement): the first dense-gate run showed that
+    // min-over-~20-stamps is degenerate — its strictness grows with the
+    // stamp count, and single transient dips (693/736/652 Mops in three
+    // otherwise-healthy 13-minute attempts whose controls read 0.897-0.969
+    // and whose efficiencies agreed within 0.04) tripped it every time,
+    // while the failure mode the gate exists for is a SUSTAINED
+    // multi-minute window (the 2026-08-17-morning smoking gun, 390-580
+    // Mops over minutes) — which the median sees and a transient dip does
+    // not. Transient dips are already filtered by the per-level-MINIMUM
+    // wall estimator (a dip can only slow a sample, and a slowed sample
+    // never becomes the per-level min unless every sample dipped — which
+    // is a sustained window, which the median catches). The min floors
+    // (650 Mops / 45 GB/s) still fail an attempt that is bimodal within
+    // its own window: sustained-degraded plateaus read 390-580 Mops /
+    // 32-64 GB/s, transient dips inside healthy windows read 650-810 /
+    // 48-66. All four thresholds env-overridable for a different host
+    // class; both the median and the min of every attempt stay on the
+    // record (BENCH.md table + JSON). Like the ratio gate, the stamp gate
+    // is host-health ONLY — the efficiency number never triggers a retry.
     val HealthyMops = sys.env.getOrElse("SPARK_GRAFT_HEALTHY_MOPS", "880").toDouble
     val HealthyGbs = sys.env.getOrElse("SPARK_GRAFT_HEALTHY_GBS", "68").toDouble
+    val FloorMops = sys.env.getOrElse("SPARK_GRAFT_FLOOR_MOPS", "650").toDouble
+    val FloorGbs = sys.env.getOrElse("SPARK_GRAFT_FLOOR_GBS", "45").toDouble
     val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_SCALE_ATTEMPTS", "3").toInt
     // JVM GC wall per sample, recorded for transparency (NOT a gate): the
     // sin-loop control is latency-bound and blind to memory-side
@@ -288,19 +311,23 @@ object Bench {
         (cpsHi / cpsLo) / 4.0, cBefore, cAfter, gcLo, gcHi, medEff,
         stamps.toSeq)
     }
-    // attempt health = ratio control AND both absolute min-stamps; the
-    // score below 1.0 means the worst health dimension missed its
-    // threshold by that factor (used only to pick the least-degraded
-    // attempt when every attempt failed the gate)
+    // attempt health = ratio control AND median stamps over thresholds AND
+    // min stamps over the (lower) floors; the score below 1.0 means the
+    // worst health dimension missed its threshold by that factor (used
+    // only to pick the least-degraded attempt when every attempt failed
+    // the gate)
     def healthScore(a: ScalingResult): Double =
-      Seq(a.control / HealthyControl, a.minMops / HealthyMops,
-        a.minGbs / HealthyGbs).min
+      Seq(a.control / HealthyControl, a.medMops / HealthyMops,
+        a.medGbs / HealthyGbs, a.minMops / FloorMops,
+        a.minGbs / FloorGbs).min
     val attempts = scala.collection.mutable.ArrayBuffer(runScalingOnce())
     while (healthScore(attempts.last) < 1.0 && attempts.size < maxAttempts) {
       val a = attempts.last
       System.err.println(f"[bench] degraded host (control ${a.control}%.3f" +
-        f" vs $HealthyControl%.2f, min stamps ${a.minMops}%.0f Mops vs" +
-        f" $HealthyMops%.0f / ${a.minGbs}%.1f GB/s vs $HealthyGbs%.1f)" +
+        f" vs $HealthyControl%.2f, stamps med ${a.medMops}%.0f Mops vs" +
+        f" $HealthyMops%.0f / ${a.medGbs}%.1f GB/s vs $HealthyGbs%.1f," +
+        f" min ${a.minMops}%.0f Mops vs floor $FloorMops%.0f /" +
+        f" ${a.minGbs}%.1f GB/s vs floor $FloorGbs%.1f)" +
         f" — rerunning scaling section" +
         s" (attempt ${attempts.size + 1}/$maxAttempts)")
       attempts += runScalingOnce()
@@ -359,7 +386,13 @@ object Bench {
     // resumed wall should therefore sit near
     // (cheap global scan) + 8/32 x (full synth+write work), far below the
     // full wall. Skipped in scaling-only stability reruns.
-    val resumeStats: Option[(Double, Double, Double, Int, Int)] =
+    // Stamped like the scaling section: the first two stamped runs showed
+    // the crash-24 reading 24-42% ABOVE the full-32 wall, while a
+    // controlled both-orders probe at 956-1098 Mops read crash24 40.9-41.2 s
+    // vs full32 50.9-51.1 s (proportional 0.80 in either order) — the
+    // in-bench inversions were minute-scale host windows landing on one
+    // sub-measurement, which only a stamp bracketing each run can show.
+    val resumeStats: Option[(Double, Double, Double, Int, Int, Seq[Double])] =
       if (scalingOnly) None
       else Some {
         spark = newSession(nHi)
@@ -383,13 +416,22 @@ object Bench {
         // scale: a cold full run read 16.6 s against a warm 24-bucket run
         // of 5.4 s)
         timedRun(graft.io.Scratch.register("graft-bench-resume-warm"), 2)
+        def stamp(): Double = {
+          val m = graft.tools.HostProbe.sinMops(32)
+          System.err.println(f"[bench] resume-section stamp: sin $m%.0f Mops/s")
+          m
+        }
+        val s0 = stamp()
         val (fullSec, nFull) = timedRun(dirFull, Int.MaxValue)
+        val s1 = stamp()
         val (crashSec, nCrash) = timedRun(dirCrash, 24)
+        val s2 = stamp()
         val (resumeSec, nResume) = timedRun(dirCrash, Int.MaxValue)
+        val s3 = stamp()
         require(nFull == 32 && nCrash == 24 && nResume == 8,
           s"resume section bucket counts wrong: $nFull/$nCrash/$nResume")
         spark.stop()
-        (fullSec, crashSec, resumeSec, nCrash, nResume)
+        (fullSec, crashSec, resumeSec, nCrash, nResume, Seq(s0, s1, s2, s3))
       }
 
     // EVERY sentence below is derived from values measured in THIS run —
@@ -407,7 +449,7 @@ object Bench {
       else
         f"is **below** the north-rule criterion (>= 0.8) on a healthy host"
     val attemptRows = attempts.zipWithIndex.map { case (a, i) =>
-      f"| ${i + 1} | ${a.efficiency}%.3f | ${a.controlBefore}%.3f/${a.controlAfter}%.3f | ${a.minMops}%.0f | ${a.minGbs}%.1f | ${if (healthScore(a) < 1.0) "degraded" else "healthy"} |"
+      f"| ${i + 1} | ${a.efficiency}%.3f | ${a.controlBefore}%.3f/${a.controlAfter}%.3f | ${a.medMops}%.0f/${a.minMops}%.0f | ${a.medGbs}%.1f/${a.minGbs}%.1f | ${if (healthScore(a) < 1.0) "degraded" else "healthy"} |"
     }.mkString("\n")
     val policyNote =
       if (attempts.size == 1 && !hostDegraded)
@@ -417,24 +459,32 @@ object Bench {
            |$HealthyControl%.2f) and an absolute stamp pair (full-width sin
            |Mops/s + streaming-read GB/s — the memory-side window detector
            |the ratio control is blind to) was taken before, between, and
-           |after every engine sample (minima ${rec.minMops}%.0f Mops /
-           |${rec.minGbs}%.1f GB/s, thresholds $HealthyMops%.0f / $HealthyGbs%.1f).
-           |All three health dimensions cleared their thresholds on the
-           |first attempt, so no rerun was needed.""".stripMargin
+           |after every engine sample (medians ${rec.medMops}%.0f Mops /
+           |${rec.medGbs}%.1f GB/s vs thresholds $HealthyMops%.0f /
+           |$HealthyGbs%.1f; minima ${rec.minMops}%.0f / ${rec.minGbs}%.1f
+           |vs floors $FloorMops%.0f / $FloorGbs%.1f). All five health
+           |dimensions cleared on the first attempt, so no rerun was
+           |needed.""".stripMargin
       else
         f"""Host-health policy: an attempt is healthy only if the sustained
            |ratio control (before AND after the samples) clears
-           |$HealthyControl%.2f AND the minimum over the absolute host
+           |$HealthyControl%.2f AND the MEDIAN over the absolute host
            |stamps taken before/between/after every engine sample clears
            |$HealthyMops%.0f sin-Mops/s and $HealthyGbs%.1f streaming-read
-           |GB/s (the absolute stamps catch mutator-side windows that slow
-           |both thread counts proportionally and so leave the ratio
-           |control healthy — observed this round). A degraded attempt
+           |GB/s AND the stamp MINIMA clear the floors $FloorMops%.0f /
+           |$FloorGbs%.1f (the absolute stamps catch mutator-side windows
+           |that slow both thread counts proportionally and so leave the
+           |ratio control healthy; the median aggregates them because the
+           |gate targets SUSTAINED windows — transient single-stamp dips
+           |are already filtered by the per-level-minimum wall estimator,
+           |and min-over-a-dense-series grows stricter with the stamp
+           |count; the floors still fail a window that is bimodal within
+           |one attempt — calibration in BASELINE.md). A degraded attempt
            |reruns the whole section, up to $maxAttempts attempts; the
            |retry trigger is host health ONLY — the efficiency number never
            |triggers or survives a retry selection. All attempts this run:
            |
-           || attempt | efficiency | control before/after | min Mops | min GB/s | verdict |
+           || attempt | efficiency | control before/after | Mops med/min | GB/s med/min | verdict |
            ||---|---|---|---|---|---|
            |@ATTEMPT_ROWS@
            |
@@ -526,7 +576,7 @@ object Bench {
         .replace("@SIZE_ROWS@", sizeRows)
         .replace("@POLICY_NOTE@", policyNote)
         .replace("@RESUME_MD@", resumeStats match {
-          case Some((f, c, r, nc, nr)) =>
+          case Some((f, c, r, nc, nr, st)) =>
             f"""Resume-from-checkpoint, same run (checkpointed Runner at
                |local[$nHi] over the same input — the north rule's
                |"resumable from checkpoints", measured at bench scale): a
@@ -539,7 +589,11 @@ object Bench {
                |(Runner.scopedInput); the floor under strict
                |proportionality is the cheap full-table metadata scan the
                |global uniqueness check irreducibly needs, plus fixed job
-               |overhead.""".stripMargin
+               |overhead. Host stamps bracketing the three runs, in order:
+               |${st.map(m => f"$m%.0f").mkString(" / ")} sin-Mops/s — read
+               |any full/crash/resume inversion against these (a controlled
+               |both-orders probe shows the walls proportional to bucket
+               |count on a quiet host: BASELINE.md round-6 notes).""".stripMargin
           case None =>
             "Resume evidence: not measured in this run (scaling-only rerun)."
         })
@@ -574,14 +628,14 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val scal =
-      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"med_efficiency":${rec.medianEfficiency}%.3f,"cpu_control_eff":$controlEff%.3f,"host_degraded":$hostDegraded,"gc_ms_n":${rec.gcMsLo},"gc_ms_n4":${rec.gcMsHi},"attempts_n":${attempts.size},"mops_min":${rec.minMops}%.0f,"gbs_min":${rec.minGbs}%.1f}"""
+      f"""{"n_clips":$nClips,"n_cores":$nLo,"n4_cores":$nHi,"n_sec":$secLo%.3f,"n4_sec":$secHi%.3f,"n_cps":$cpsLo%.1f,"n4_cps":$cpsHi%.1f,"efficiency":$efficiency%.3f,"med_efficiency":${rec.medianEfficiency}%.3f,"cpu_control_eff":$controlEff%.3f,"host_degraded":$hostDegraded,"gc_ms_n":${rec.gcMsLo},"gc_ms_n4":${rec.gcMsHi},"attempts_n":${attempts.size},"mops_med":${rec.medMops}%.0f,"mops_min":${rec.minMops}%.0f,"gbs_med":${rec.medGbs}%.1f,"gbs_min":${rec.minGbs}%.1f}"""
     val sizes = sizeAxis.map { case (k, n, sec, cps) =>
       f"""{"replicate":$k,"clips":$n,"sec":$sec%.2f,"cps":$cps%.0f}"""
     }.mkString("[", ",", "]")
     val sweepCtl =
       f"""{"mops_before":$sweepMopsBefore%.1f,"mops_after":$sweepMopsAfter%.1f}"""
-    val resumeJson = resumeStats.map { case (f, c, r, nc, nr) =>
-      f""","resume":{"full_sec":$f%.2f,"crash_sec":$c%.2f,"resume_sec":$r%.2f,"crash_buckets":$nc,"resumed_buckets":$nr}"""
+    val resumeJson = resumeStats.map { case (f, c, r, nc, nr, st) =>
+      f""","resume":{"full_sec":$f%.2f,"crash_sec":$c%.2f,"resume_sec":$r%.2f,"crash_buckets":$nc,"resumed_buckets":$nr,"mops":[${st.map(m => f"$m%.0f").mkString(",")}]}"""
     }.getOrElse("")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scal,"size_axis":$sizes,"sweep_control":$sweepCtl$resumeJson}""")
