@@ -118,7 +118,10 @@ object Bench {
           (n: String) => n.startsWith("au_")),
         ("dd_pairs_materialize",
           () => { graft.dedup.Dedup.verifiedPairsShared(spark, sfDir).count(); () },
-          Set("dd_minhash", "dd_cluster", "dd_contaminate", "dd_keep")))
+          Set("dd_minhash", "dd_cluster", "dd_contaminate", "dd_keep")),
+        ("vc_incr_materialize",
+          () => { graft.queries.ClipQueries.stagedIncrTable(spark, sfDir); () },
+          Set("vc_incr", "vc_verdict_drift")))
       var excluded: String => Boolean = _ => false
       val stagedEntries = stagedBuilds.flatMap { case (entry, build, consumers) =>
         val t0 = System.nanoTime()

@@ -32,6 +32,11 @@ object SparkEntry {
     "vc_drift_ks" -> ((s, d) => ClipQueries.driftKs(s, d)),
     "vc_dedup_lww" -> ((s, d) => ClipQueries.dedupLww(s, d)),
     "vc_codec_counts" -> ((s, d) => ClipQueries.codecCounts(s, d)),
+    // incremental validation over the TableFormat append lineage (round-6):
+    // commit-delta scan + delta-scoped checks + newly-formed-dup-only
+    // uniqueness, and the incrementally-decomposed per-bucket verdict drift
+    "vc_incr" -> ((s, d) => ClipQueries.incrementalViolations(s, d)),
+    "vc_verdict_drift" -> ((s, d) => ClipQueries.verdictDrift(s, d)),
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),

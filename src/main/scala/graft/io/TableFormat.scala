@@ -62,7 +62,17 @@ object TableFormat {
       else Seq.empty
     val version = prev.getOrElse(0) + 1
     val dataPath = s"data/v$version"
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
+    // Repartition BY THE PARTITION COLUMN before the dynamic-partition
+    // write: without it every upstream task owns rows of every partition
+    // value, so a P-partition table written from T tasks lands P×T small
+    // files (measured: the 32-bucket clips snapshot at 32 shuffle
+    // partitions wrote ~1,024 files per version and every subsequent
+    // snapshot READ paid the open/footer cost ~32×). After the shuffle
+    // each task owns whole partition values → ~1 file per dir, and the
+    // same shape holds at 10^12 rows (file count scales with data volume
+    // via maxRecordsPerFile, not with writer parallelism).
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
 
     val counts = df.groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
       .collect().map(r =>
@@ -132,6 +142,26 @@ object TableFormat {
         Files.deleteIfExists(metaDir(table).resolve(s"snap-$v.json"))
       }
     }
+  }
+
+  /** Incremental scan (the Iceberg incremental-append-scan analogue): the
+    * rows committed AFTER `fromVersion`, as of `toVersion` — the union of
+    * the data dirs `toVersion`'s manifest references that `fromVersion`'s
+    * does not. Reading the delta is a manifest DIFF, so its cost is
+    * O(appended data): at a 10^12-row table this is the production
+    * validation mode — each append commit's delta is validated in
+    * O(new rows) plus one narrow key scan for the global checks
+    * (CheckCompiler.incrementalDupGroups), never O(table). Defined for
+    * append lineages; a full-replace commit rewrites its dir set, so its
+    * manifest diff is the whole new snapshot — which is exactly the
+    * correct "delta" for a replace. */
+  def readIncremental(spark: SparkSession, table: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val before = dataDirs(table, fromVersion).toSet
+    val dirs = dataDirs(table, toVersion).filterNot(before)
+    if (dirs.isEmpty) throw new IllegalStateException(
+      s"incremental scan $fromVersion->$toVersion at $table adds no data dirs")
+    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
   }
 
   /** Read a snapshot (latest by default) — the union of every data dir in
