@@ -158,6 +158,13 @@ object TableFormat {
   def readIncremental(spark: SparkSession, table: String,
       fromVersion: Int, toVersion: Int): DataFrame = {
     val before = dataDirs(table, fromVersion).toSet
+    // a valid snapshot always lists >= 1 dir, and dataDirs returns empty on
+    // an unparseable/missing manifest — without this guard a corrupted base
+    // manifest would silently turn the "delta" into the FULL table (every
+    // v1-internal duplicate re-reported), the opposite of failing loudly
+    if (before.isEmpty) throw new IllegalStateException(
+      s"snapshot $fromVersion at $table lists no data dirs — refusing an " +
+        "incremental scan whose base manifest is unreadable")
     val dirs = dataDirs(table, toVersion).filterNot(before)
     if (dirs.isEmpty) throw new IllegalStateException(
       s"incremental scan $fromVersion->$toVersion at $table adds no data dirs")

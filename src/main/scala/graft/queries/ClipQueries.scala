@@ -226,11 +226,13 @@ object ClipQueries {
     * an APPEND of the rest. The split is chosen so the duplicate-key
     * fixture (ord % 101 -> clip_id collides with ord+1) produces all three
     * duplicate-group classes the incremental semantics must distinguish:
-    * v1-internal groups (both members' ord % 64 <= 30 — must NOT be
-    * re-reported by the append's validation), boundary-crossing groups,
-    * and delta-internal groups (at sf0.001: 8 internal vs 7 touching the
+    * v1-internal groups (ord % 64 <= 30, both members in v1 — must NOT be
+    * re-reported by the append's validation), boundary-crossing groups
+    * (ord % 64 = 31, and ord % 64 = 63 where the ord+1 member wraps into
+    * the NEXT block's v1 half), and delta-internal groups
+    * (ord % 64 in [32, 62]). At sf0.001: 8 internal vs 7 touching the
     * delta; measured in the fixture-design probe, IncrementalSpec pins
-    * the split). */
+    * the split. */
   def stagedIncrTable(spark: SparkSession, sfDir: String): String =
     incrDirs.computeIfAbsent(sfDir, _ => {
       val dir = graft.io.Scratch.register("graft-clips-incr")
@@ -314,12 +316,15 @@ object ClipQueries {
       .incrementalDupGroups(v1.select("clip_id"), delta.select("clip_id"), "clip_id")
       .filter(col("cnt_old") === 1)
       .select("clip_id")
-    val rowBad = s.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
-    val refsDf = s.refs("refs").select(col("clip_id").as("__ref_key")).distinct()
-    val retro = v1.join(flippedGroups, Seq("clip_id"))
-      .join(refsDf, col("clip_id") === col("__ref_key"), "left")
-      .filter(!(rowBad || col("__ref_key").isNull))
-      .groupBy("bucket").agg(count(lit(1)).as("n_retro"))
+    // the "already bad" status of the affected rows is re-derived through
+    // the SAME compiler path as every other verdict count (Unique removed:
+    // their dup status is exactly what flipped) — not a hand-rolled
+    // predicate, so NULL-valued checks and any future ref checks keep the
+    // decomposition in lockstep with verdicts' semantics: n_retro =
+    // affected rows that verdicts would NOT have counted bad before
+    val noUnique = s.copy(checks = s.checks.filterNot(_.isInstanceOf[Unique]))
+    val retro = CheckCompiler.verdicts(v1.join(flippedGroups, Seq("clip_id")), noUnique)
+      .select(col("bucket"), (col("n_rows") - col("n_bad")).as("n_retro"))
     before
       .join(deltaBad, Seq("bucket"), "full_outer")
       .join(retro, Seq("bucket"), "full_outer")

@@ -116,6 +116,21 @@ class IncrementalSpec extends AnyFunSuite {
     assert(flipped.count() > 0, "fixture must exercise the retro-flip term")
   }
 
+  test("readIncremental refuses a base snapshot with an unreadable manifest") {
+    import java.nio.file.{Files, Paths}
+    // a corrupted base manifest makes dataDirs(from) empty; without the
+    // guard the "delta" would silently become the FULL table
+    val dir = graft.io.Scratch.register("graft-incr-corrupt")
+    val df = graft.clips.ClipsTable.base(spark, sfDir).limit(64)
+    TableFormat.commit(df, dir, "bucket")
+    TableFormat.append(df, dir, "bucket")
+    Files.writeString(Paths.get(dir, "metadata", "snap-1.json"), "{ truncated")
+    val e = intercept[IllegalStateException] {
+      TableFormat.readIncremental(spark, dir, 1, 2)
+    }
+    assert(e.getMessage.contains("lists no data dirs"))
+  }
+
   test("incremental plans stay window-free (aggregate-based uniqueness)") {
     // same plan-shape guarantee as the batch paths (EngineSpec): uniqueness
     // is a hash aggregate with map-side partials, never a window funneling
