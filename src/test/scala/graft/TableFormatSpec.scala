@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -41,6 +43,26 @@ class TableFormatSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("bucket"), plan.take(500))
     assert(pruned.count() == clips.filter(col("bucket") === 3).count())
+  }
+
+  test("snapshot writes do not fan out small files per partition dir") {
+    // regression pin for the round-6 small-files fix: without the
+    // repartition-by-partition-column inside writeSnapshot, a P-partition
+    // table written from T upstream tasks lands P×T files (measured 1,024
+    // per version on the 32-bucket clips table) and every read-back pays
+    // the open/footer cost per file. After the shuffle each bucket dir
+    // should hold O(1) files at test data volumes.
+    val table = Files.createTempDirectory("graft-table-files").toString
+    TableFormat.commit(ClipsTable.base(spark, sfDir).repartition(16), table, "bucket")
+    val bucketDirs = Files.list(java.nio.file.Paths.get(table, "data", "v1"))
+      .iterator().asScala.filter(p => p.getFileName.toString.startsWith("bucket=")).toSeq
+    assert(bucketDirs.size == 32)
+    bucketDirs.foreach { d =>
+      val nParquet = Files.list(d).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(nParquet <= 2,
+        s"$d holds $nParquet parquet files — the per-dir fan-out is back")
+    }
   }
 
   test("string partition column: manifest stays valid JSON and reads back") {
