@@ -144,6 +144,32 @@ object TableFormat {
     }
   }
 
+  /** Compaction — the Iceberg `rewrite_data_files` analogue: after N append
+    * commits every partition dir set has N generations of files, and each
+    * read pays the per-file open cost N times over. Compacting rewrites the
+    * CURRENT snapshot as one fresh full-replace version (one right-sized
+    * file set per partition, since writeSnapshot shuffles by the partition
+    * column), leaving history intact for time travel; follow with
+    * [[expireSnapshots]] to reclaim the superseded generations' bytes.
+    * Returns the new snapshot version. */
+  def compact(spark: SparkSession, table: String): Int = {
+    val current = read(spark, table)
+    val partitionCol = {
+      val snapFile = metaDir(table).resolve(
+        s"snap-${currentVersion(table).get}.json")
+      graft.repair.PyJson.loads(java.nio.file.Files.readString(snapFile)) match {
+        case Some(graft.repair.JObj(f)) => f.get("partition_col") match {
+          case Some(graft.repair.JStr(c)) => c
+          case _ => throw new IllegalStateException(
+            s"snapshot manifest at $table lists no partition_col")
+        }
+        case _ => throw new IllegalStateException(
+          s"unreadable snapshot manifest at $table")
+      }
+    }
+    commit(current, table, partitionCol)
+  }
+
   /** Incremental scan (the Iceberg incremental-append-scan analogue): the
     * rows committed AFTER `fromVersion`, as of `toVersion` — the union of
     * the data dirs `toVersion`'s manifest references that `fromVersion`'s

@@ -65,6 +65,32 @@ class TableFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("compact rewrites the append lineage into one generation; expiry reclaims it") {
+    val table = Files.createTempDirectory("graft-table-compact").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    TableFormat.commit(clips.filter(col("ord") % 3 === 0), table, "bucket")
+    TableFormat.append(clips.filter(col("ord") % 3 === 1), table, "bucket")
+    TableFormat.append(clips.filter(col("ord") % 3 === 2), table, "bucket")
+    val total = TableFormat.read(spark, table).count()
+    // three generations of files before compaction
+    assert(TableFormat.dataDirs(table, 3).size == 3)
+
+    val v4 = TableFormat.compact(spark, table)
+    assert(v4 == 4)
+    // identical data, one generation, history intact
+    assert(TableFormat.read(spark, table).count() == total)
+    assert(TableFormat.dataDirs(table, 4).size == 1)
+    assert(TableFormat.read(spark, table, Some(3)).count() == total)
+    assert(TableFormat.read(spark, table, Some(1)).count() ==
+      clips.filter(col("ord") % 3 === 0).count())
+
+    // expiry reclaims the superseded generations; the compacted read stands
+    TableFormat.expireSnapshots(table, keep = 1)
+    assert(TableFormat.snapshots(table) == Seq(4))
+    assert(!Files.exists(java.nio.file.Paths.get(table, "data", "v1")))
+    assert(TableFormat.read(spark, table).count() == total)
+  }
+
   test("string partition column: manifest stays valid JSON and reads back") {
     // round-2 advice: partition values were embedded unquoted in the
     // manifest, so a non-numeric partition column produced invalid JSON and
