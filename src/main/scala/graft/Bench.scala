@@ -121,7 +121,10 @@ object Bench {
           Set("dd_minhash", "dd_cluster", "dd_contaminate", "dd_keep")),
         ("vc_incr_materialize",
           () => { graft.queries.ClipQueries.stagedIncrTable(spark, sfDir); () },
-          Set("vc_incr", "vc_verdict_drift")))
+          Set("vc_incr", "vc_verdict_drift")),
+        ("vc_skip_materialize",
+          () => { graft.queries.ClipQueries.stagedRangedTable(spark, sfDir); () },
+          Set("vc_skip")))
       var excluded: String => Boolean = _ => false
       val stagedEntries = stagedBuilds.flatMap { case (entry, build, consumers) =>
         val t0 = System.nanoTime()

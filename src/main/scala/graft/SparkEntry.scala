@@ -37,6 +37,9 @@ object SparkEntry {
     // uniqueness, and the incrementally-decomposed per-bucket verdict drift
     "vc_incr" -> ((s, d) => ClipQueries.incrementalViolations(s, d)),
     "vc_verdict_drift" -> ((s, d) => ClipQueries.verdictDrift(s, d)),
+    // manifest-column-stats data skipping over a range-laid-out snapshot
+    // (round-6: the Iceberg lower/upper-bounds file-pruning analogue)
+    "vc_skip" -> ((s, d) => ClipQueries.skipScan(s, d)),
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),

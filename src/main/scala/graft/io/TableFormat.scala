@@ -41,21 +41,28 @@ object TableFormat {
     case other => graft.repair.PyJson.dumps(graft.repair.JStr(other.toString))
   }
 
+  private def jsonKey(s: String): String =
+    graft.repair.PyJson.dumps(graft.repair.JStr(s))
+
   /** Full-replace snapshot of `df` partitioned by `partitionCol`. Returns
-    * the committed snapshot version. */
-  def commit(df: DataFrame, table: String, partitionCol: String): Int =
-    writeSnapshot(df, table, partitionCol, carryForward = false)
+    * the committed snapshot version. `statsCols` names columns whose
+    * per-partition min/max are recorded in the manifest — the Iceberg
+    * column-stats analogue that [[readWhere]] prunes on. */
+  def commit(df: DataFrame, table: String, partitionCol: String,
+      statsCols: Seq[String] = Nil): Int =
+    writeSnapshot(df, table, partitionCol, carryForward = false, statsCols)
 
   /** Append snapshot: the new version's manifest references every data dir
     * of the previous snapshot PLUS this batch's fresh dir — the
     * Iceberg-append shape (a snapshot is a manifest of files; appends never
     * rewrite existing data). Readers of version v see all rows committed
     * through v; time travel to an older version sees fewer. */
-  def append(df: DataFrame, table: String, partitionCol: String): Int =
-    writeSnapshot(df, table, partitionCol, carryForward = true)
+  def append(df: DataFrame, table: String, partitionCol: String,
+      statsCols: Seq[String] = Nil): Int =
+    writeSnapshot(df, table, partitionCol, carryForward = true, statsCols)
 
   private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
-      carryForward: Boolean): Int = {
+      carryForward: Boolean, statsCols: Seq[String] = Nil): Int = {
     val prev = currentVersion(table)
     val prevDirs =
       if (carryForward) prev.map(v => dataDirs(table, v)).getOrElse(Seq.empty)
@@ -74,13 +81,30 @@ object TableFormat {
     df.repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
 
-    val counts = df.groupBy(col(partitionCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r =>
-        s"""{"${partitionCol}": ${jsonLit(r.get(0))}, "rows": ${r.getLong(1)}}""")
+    // one aggregation pass yields the manifest's row counts AND the
+    // per-partition min/max column stats (Iceberg manifest-entry
+    // lower_bounds/upper_bounds analogue) — stats cost nothing extra
+    // beyond widening the agg the counts already pay for
+    val statAggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val counts = df.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n"), statAggs: _*)
+      .collect().map { r =>
+        val stats =
+          if (statsCols.isEmpty) ""
+          else statsCols.zipWithIndex.map { case (c, i) =>
+            val lo = jsonLit(r.get(2 + 2 * i))
+            val hi = jsonLit(r.get(3 + 2 * i))
+            s"""${jsonKey(c)}: {"min": $lo, "max": $hi}"""
+          }.mkString(""", "stats": {""", ", ", "}")
+        s"""{"${partitionCol}": ${jsonLit(r.get(0))}, "rows": ${r.getLong(1)}$stats}"""
+      }
     Files.createDirectories(metaDir(table))
     val allDirs = (prevDirs :+ dataPath).map(d => s""""$d"""").mkString(", ")
+    val statsColsJson = statsCols.map(jsonKey).mkString("[", ", ", "]")
     val snap =
       s"""{"version": $version, "data_dirs": [$allDirs], "partition_col": "$partitionCol",
+         | "stats_cols": $statsColsJson,
          | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
     val tmp = metaDir(table).resolve(".version-hint.tmp")
@@ -105,6 +129,162 @@ object TableFormat {
       }
       case _ => Seq.empty
     }
+  }
+
+  /** Per-partition (partitionValue, min, max) bounds recorded for `colName`
+    * by the snapshot that ADDED `dir` (dir names encode their writing
+    * version: `data/v<k>` ↔ `snap-<k>.json`'s `partitions_added`). Returns
+    * None when that snapshot recorded no stats for the column — the caller
+    * must then keep the whole dir (pruning is an optimization, never a
+    * correctness gate). Min/max of None = an all-null partition. */
+  def dirStats(table: String, dir: String, colName: String)
+      : Option[Seq[(Any, Option[Any], Option[Any])]] = {
+    val ver = dir match {
+      case DirVersion(v) => v.toInt
+      case _ => return None // legacy single-dir layout: no stats
+    }
+    val snapFile = metaDir(table).resolve(s"snap-$ver.json")
+    if (!Files.exists(snapFile)) return None
+    import graft.repair.{JArr, JObj, JStr, JInt, JFloat, JBool, JsonValue}
+    def scalar(v: JsonValue): Any = v match {
+      case JStr(s) => s
+      case JInt(n) => n
+      case JFloat(d) => d
+      case JBool(b) => b
+      case _ => null
+    }
+    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+      case Some(JObj(f)) =>
+        val hasCol = f.get("stats_cols") match {
+          case Some(JArr(cs)) => cs.exists { case JStr(c) => c == colName; case _ => false }
+          case _ => false
+        }
+        if (!hasCol) None
+        else f.get("partitions_added") match {
+          case Some(JArr(parts)) =>
+            val pcol = f.get("partition_col") match {
+              case Some(JStr(c)) => c
+              case _ => return None
+            }
+            Some(parts.toSeq.collect { case JObj(p) =>
+              val pv = p.get(pcol).map(scalar).orNull
+              val (lo, hi) = p.get("stats") match {
+                case Some(JObj(st)) => st.get(colName) match {
+                  case Some(JObj(mm)) =>
+                    (mm.get("min").map(scalar).filter(_ != null),
+                     mm.get("max").map(scalar).filter(_ != null))
+                  case _ => (None, None)
+                }
+                case _ => (None, None)
+              }
+              (pv, lo, hi)
+            })
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  private val DirVersion = "data/v(\\d+)".r
+
+  /** The partition column recorded by the snapshot that added `dir`. */
+  private def dirPartitionCol(table: String, dir: String): Option[String] =
+    dir match {
+      case DirVersion(v) =>
+        val snapFile = metaDir(table).resolve(s"snap-$v.json")
+        if (!Files.exists(snapFile)) None
+        else graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+          case Some(graft.repair.JObj(f)) => f.get("partition_col") match {
+            case Some(graft.repair.JStr(c)) => Some(c)
+            case _ => None
+          }
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Total order over manifest-stat scalars for pruning comparisons.
+    * JSON round-trips numbers as BigInt/Double; callers pass Int/Long/
+    * String bounds. Mixed string/number → None (caller must not prune). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x, y) =>
+      def num(v: Any): Option[BigDecimal] = v match {
+        case n: BigInt => Some(BigDecimal(n))
+        case n: BigDecimal => Some(n)
+        case n: java.math.BigDecimal => Some(BigDecimal(n))
+        case n: Int => Some(BigDecimal(n))
+        case n: Long => Some(BigDecimal(n))
+        case n: Short => Some(BigDecimal(n.toInt))
+        case n: Byte => Some(BigDecimal(n.toInt))
+        case n: Double if java.lang.Double.isFinite(n) => Some(BigDecimal(n))
+        case n: Float if java.lang.Float.isFinite(n) => Some(BigDecimal(n.toDouble))
+        case _ => None
+      }
+      for (x1 <- num(x); y1 <- num(y)) yield x1.compare(y1)
+  }
+
+  /** Stats-pruned range scan — the Iceberg data-skipping analogue. Reads
+    * only the (data dir, partition value) pairs whose recorded
+    * [min, max] bounds for `colName` intersect [lo, hi], then applies the
+    * range predicate exactly (stats are necessary, not sufficient). The
+    * pruning is MANIFEST-side: a skipped dir is never listed, a skipped
+    * partition value becomes a partition-discovery filter — so at a
+    * 10^12-row table a clip-id range lookup over a range-laid-out table
+    * opens O(matching partitions) files, not O(table), before Spark's own
+    * parquet row-group pruning even starts. Dirs or partitions written
+    * without stats for `colName` are kept (correctness never depends on
+    * stats being present). */
+  def readWhere(spark: SparkSession, table: String, colName: String,
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+    val v = version.orElse(currentVersion(table)).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    val dirs = dataDirs(table, v)
+    if (dirs.isEmpty) throw new IllegalStateException(s"snapshot $v at $table lists no data")
+    val rangeFilter = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val reads = dirs.flatMap { d =>
+      dirStats(table, d, colName) match {
+        case None => Some(spark.read.parquet(s"$table/$d")) // no stats: keep all
+        case Some(parts) =>
+          // keep a partition unless it PROVABLY misses [lo, hi]: max < lo
+          // or min > hi with a defined comparison. An all-null partition
+          // (no bounds) has no row matching a range predicate → prunes;
+          // an uncomparable bound (type mismatch) → kept, never pruned.
+          val kept = parts.collect { case (pv, mn, mx)
+              if (mn.isDefined || mx.isDefined) &&
+                 !mx.flatMap(cmp(_, lo)).exists(_ < 0) &&
+                 !mn.flatMap(cmp(_, hi)).exists(_ > 0) => pv }
+          if (kept.isEmpty) None // whole dir skipped — never even listed
+          else if (kept.size == parts.size) Some(spark.read.parquet(s"$table/$d"))
+          else {
+            // read ONLY the kept partition subdirs (basePath keeps the
+            // partition column in the schema): the skipped subdirs are
+            // never listed, so at 10^12 rows the lookup's file-listing
+            // cost is O(kept partitions), not O(table). Falls back to a
+            // partition-discovery isin filter if any kept value's subdir
+            // name can't be located verbatim (exotic chars Spark escapes
+            // in dir names), and to an unpruned read if the partition
+            // value set contains null (isin would wrongly drop it).
+            val pcol = dirPartitionCol(table, d)
+            val dirPath = Paths.get(table, d)
+            val subPaths = pcol.map(pc => kept.map(v => dirPath.resolve(s"$pc=$v")))
+            if (pcol.isEmpty || kept.contains(null))
+              Some(spark.read.parquet(s"$table/$d"))
+            else if (subPaths.get.forall(Files.isDirectory(_)))
+              Some(spark.read.option("basePath", dirPath.toString)
+                .parquet(subPaths.get.map(_.toString): _*))
+            else
+              Some(spark.read.parquet(s"$table/$d").where(col(pcol.get).isin(kept.map {
+                case b: BigInt => b.toLong: Any
+                case other => other
+              }: _*)))
+          }
+      }
+    }
+    if (reads.isEmpty)
+      // every dir pruned: an empty frame with the table's schema
+      read(spark, table, Some(v)).where(lit(false))
+    else reads.reduce(_.unionByName(_)).where(rangeFilter)
   }
 
   def currentVersion(table: String): Option[Int] = {
@@ -154,20 +334,30 @@ object TableFormat {
     * Returns the new snapshot version. */
   def compact(spark: SparkSession, table: String): Int = {
     val current = read(spark, table)
-    val partitionCol = {
+    val (partitionCol, statsCols) = {
       val snapFile = metaDir(table).resolve(
         s"snap-${currentVersion(table).get}.json")
       graft.repair.PyJson.loads(java.nio.file.Files.readString(snapFile)) match {
-        case Some(graft.repair.JObj(f)) => f.get("partition_col") match {
-          case Some(graft.repair.JStr(c)) => c
-          case _ => throw new IllegalStateException(
-            s"snapshot manifest at $table lists no partition_col")
-        }
+        case Some(graft.repair.JObj(f)) =>
+          val pc = f.get("partition_col") match {
+            case Some(graft.repair.JStr(c)) => c
+            case _ => throw new IllegalStateException(
+              s"snapshot manifest at $table lists no partition_col")
+          }
+          // carry the column-stats contract through the rewrite — a
+          // compaction that silently dropped stats would turn every
+          // subsequent readWhere into a full scan
+          val sc = f.get("stats_cols") match {
+            case Some(graft.repair.JArr(cs)) =>
+              cs.toSeq.collect { case graft.repair.JStr(c) => c }
+            case _ => Seq.empty[String]
+          }
+          (pc, sc)
         case _ => throw new IllegalStateException(
           s"unreadable snapshot manifest at $table")
       }
     }
-    commit(current, table, partitionCol)
+    commit(current, table, partitionCol, statsCols)
   }
 
   /** Incremental scan (the Iceberg incremental-append-scan analogue): the

@@ -244,6 +244,41 @@ object ClipQueries {
   private val incrDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Range-laid-out clips snapshot for the data-skipping query, staged ONCE
+    * per input (keepDirs pattern). Partitioned by ord_day = ord / 4096 —
+    * the time-partition layout a production ingest naturally lands
+    * (clip ids arrive roughly monotonically) — with clip_id min/max
+    * recorded per partition in the manifest (TableFormat statsCols). A
+    * clip_id range lookup then opens O(matching days) of files via
+    * manifest pruning instead of scanning the table: at 10^12 rows this is
+    * the difference between a point lookup and a full scan. The stats are
+    * MEASURED, not assumed — the duplicate-key fixture (ord % 101 →
+    * clip_id = ord+1) can land a clip id one past its day's nominal edge,
+    * and the recorded max simply covers it. */
+  def stagedRangedTable(spark: SparkSession, sfDir: String): String =
+    rangedDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.io.Scratch.register("graft-clips-ranged")
+      val base = ClipsTable.base(spark, sfDir)
+        .withColumn("ord_day", (col("ord") / 4096).cast("int"))
+      graft.io.TableFormat.commit(base, dir, "ord_day", statsCols = Seq("clip_id"))
+      dir
+    })
+  private val rangedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Manifest-stats range scan (Iceberg data-skipping analogue): fetch a
+    * clip_id range from the range-laid-out snapshot via
+    * TableFormat.readWhere. The oracle replays the same range predicate
+    * over the base CTE — equality proves pruning never drops a matching
+    * row (TableFormatSpec proves it actually SKIPS files). */
+  def skipScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = stagedRangedTable(spark, sfDir)
+    graft.io.TableFormat
+      .readWhere(spark, table, "clip_id",
+        "clip-000000001000", "clip-000000002999")
+      .select("clip_id", "sr_hz", "dur_ms", "codec", "bucket")
+  }
+
   /** Incremental validation of an append commit — the production mode for
     * a growing 10^12-row table: validate each commit's DELTA, not the
     * table. The delta rows come from TableFormat.readIncremental (a
@@ -449,6 +484,12 @@ object ClipQueries {
     "vc_codec_counts" ->
       s"""$C
          |SELECT codec, count(*) AS n_clips FROM clips GROUP BY codec""".stripMargin,
+    // manifest-stats data skipping: the pruned scan must return exactly the
+    // range predicate's rows — DuckDB replays the predicate directly
+    "vc_skip" ->
+      s"""$C
+         |SELECT clip_id, sr_hz, dur_ms, codec, bucket FROM clips
+         |WHERE clip_id >= 'clip-000000001000' AND clip_id <= 'clip-000000002999'""".stripMargin,
     "vc_transcript_eq" ->
       s"""$C
          |SELECT clip_id, 'transcript_equality' AS check_name
