@@ -124,7 +124,10 @@ object Bench {
           Set("vc_incr", "vc_verdict_drift")),
         ("vc_skip_materialize",
           () => { graft.queries.ClipQueries.stagedRangedTable(spark, sfDir); () },
-          Set("vc_skip")))
+          Set("vc_skip")),
+        ("vc_overwrite_materialize",
+          () => { graft.queries.ClipQueries.stagedOverwriteTable(spark, sfDir); () },
+          Set("vc_overwrite")))
       var excluded: String => Boolean = _ => false
       val stagedEntries = stagedBuilds.flatMap { case (entry, build, consumers) =>
         val t0 = System.nanoTime()

@@ -40,6 +40,9 @@ object SparkEntry {
     // manifest-column-stats data skipping over a range-laid-out snapshot
     // (round-6: the Iceberg lower/upper-bounds file-pruning analogue)
     "vc_skip" -> ((s, d) => ClipQueries.skipScan(s, d)),
+    // dynamic-partition-overwrite lifecycle: per-bucket revalidation over a
+    // snapshot whose bucket 3 was fixed and recommitted partition-wise
+    "vc_overwrite" -> ((s, d) => ClipQueries.overwriteVerdicts(s, d)),
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),

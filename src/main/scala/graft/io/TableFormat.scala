@@ -37,7 +37,7 @@ object TableFormat {
     case d: Double if !java.lang.Double.isFinite(d) => s""""$d"""" // NaN/Inf: no JSON literal
     case f: Float if !java.lang.Float.isFinite(f) => s""""$f""""
     case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
-              _: java.math.BigDecimal) => n.toString
+              _: java.math.BigDecimal | _: BigInt | _: BigDecimal) => n.toString
     case other => graft.repair.PyJson.dumps(graft.repair.JStr(other.toString))
   }
 
@@ -61,14 +61,49 @@ object TableFormat {
       statsCols: Seq[String] = Nil): Int =
     writeSnapshot(df, table, partitionCol, carryForward = true, statsCols)
 
+  /** Dynamic-partition overwrite — the Iceberg `overwrite` (REPLACE WHERE on
+    * partition values) analogue, and the write mode of the fix-and-revalidate
+    * cycle: a corrected bucket is recommitted by rewriting ONLY that bucket's
+    * partition, never the table. The new snapshot carries every previous data
+    * dir forward and records df's partition values as EXCLUDED from all of
+    * them (`dir_excludes` in the manifest), so readers of this version see
+    * the replaced partitions' rows only from the fresh dir; time travel to
+    * older versions still sees the originals, and [[compact]] materializes
+    * the exclusions away. Cost is O(replaced partitions) write + a manifest
+    * commit — at a 10^12-row table fixing one bucket never touches the other
+    * 10^12·(B-1)/B rows. */
+  def overwritePartitions(df: DataFrame, table: String, partitionCol: String,
+      statsCols: Seq[String] = Nil): Int =
+    writeSnapshot(df, table, partitionCol, carryForward = true, statsCols,
+      overwrite = true)
+
   private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
-      carryForward: Boolean, statsCols: Seq[String] = Nil): Int = {
+      carryForward: Boolean, statsCols: Seq[String] = Nil,
+      overwrite: Boolean = false): Int = {
     val prev = currentVersion(table)
     val prevDirs =
       if (carryForward) prev.map(v => dataDirs(table, v)).getOrElse(Seq.empty)
       else Seq.empty
+    val prevExcludes: Map[String, Seq[Any]] =
+      if (carryForward) prev.map(v => dirExcludes(table, v)).getOrElse(Map.empty)
+      else Map.empty
     val version = prev.getOrElse(0) + 1
     val dataPath = s"data/v$version"
+    // one aggregation pass yields the manifest's row counts AND the
+    // per-partition min/max column stats (Iceberg manifest-entry
+    // lower_bounds/upper_bounds analogue) — stats cost nothing extra
+    // beyond widening the agg the counts already pay for. Computed BEFORE
+    // the data write so an EMPTY batch can skip the write and keep its
+    // fileless dir out of the manifest (a data dir with no parquet files
+    // fails schema inference and would poison every subsequent read of the
+    // table; an empty append — a commit cycle that happened to add no rows
+    // — must still produce a valid, readable snapshot).
+    val statAggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val countRows = df.groupBy(col(partitionCol))
+      .agg(count(lit(1)).as("n"), statAggs: _*)
+      .collect()
+
     // Repartition BY THE PARTITION COLUMN before the dynamic-partition
     // write: without it every upstream task owns rows of every partition
     // value, so a P-partition table written from T tasks lands P×T small
@@ -78,18 +113,10 @@ object TableFormat {
     // each task owns whole partition values → ~1 file per dir, and the
     // same shape holds at 10^12 rows (file count scales with data volume
     // via maxRecordsPerFile, not with writer parallelism).
-    df.repartition(col(partitionCol))
-      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
-
-    // one aggregation pass yields the manifest's row counts AND the
-    // per-partition min/max column stats (Iceberg manifest-entry
-    // lower_bounds/upper_bounds analogue) — stats cost nothing extra
-    // beyond widening the agg the counts already pay for
-    val statAggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val counts = df.groupBy(col(partitionCol))
-      .agg(count(lit(1)).as("n"), statAggs: _*)
-      .collect().map { r =>
+    if (countRows.nonEmpty)
+      df.repartition(col(partitionCol))
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
+    val counts = countRows.map { r =>
         val stats =
           if (statsCols.isEmpty) ""
           else statsCols.zipWithIndex.map { case (c, i) =>
@@ -99,12 +126,26 @@ object TableFormat {
           }.mkString(""", "stats": {""", ", ", "}")
         s"""{"${partitionCol}": ${jsonLit(r.get(0))}, "rows": ${r.getLong(1)}$stats}"""
       }
+    // an overwrite excludes this batch's partition values from every carried
+    // dir; appends carry prior exclusions forward untouched (an append after
+    // an overwrite must not resurrect the replaced rows)
+    val newExcludes: Map[String, Seq[Any]] =
+      if (!overwrite) prevExcludes
+      else {
+        val replaced = countRows.map(_.get(0)).toSeq
+        prevDirs.map(d =>
+          d -> (prevExcludes.getOrElse(d, Seq.empty) ++ replaced).distinct).toMap
+      }
     Files.createDirectories(metaDir(table))
-    val allDirs = (prevDirs :+ dataPath).map(d => s""""$d"""").mkString(", ")
+    val newDirs = if (countRows.isEmpty) prevDirs else prevDirs :+ dataPath
+    val allDirs = newDirs.map(d => s""""$d"""").mkString(", ")
     val statsColsJson = statsCols.map(jsonKey).mkString("[", ", ", "]")
+    val excludesJson = newExcludes.filter(_._2.nonEmpty).map { case (d, vs) =>
+      s"""${jsonKey(d)}: ${vs.map(jsonLit).mkString("[", ", ", "]")}"""
+    }.mkString("{", ", ", "}")
     val snap =
       s"""{"version": $version, "data_dirs": [$allDirs], "partition_col": "$partitionCol",
-         | "stats_cols": $statsColsJson,
+         | "stats_cols": $statsColsJson, "dir_excludes": $excludesJson,
          | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
     val tmp = metaDir(table).resolve(".version-hint.tmp")
@@ -187,6 +228,90 @@ object TableFormat {
 
   private val DirVersion = "data/v(\\d+)".r
 
+  /** Partition values EXCLUDED per data dir by snapshot `version`'s manifest
+    * — the read-side contract of [[overwritePartitions]]: rows of these
+    * partition values in the named dirs were replaced by a later dir and
+    * must not be read. Missing/legacy field → no exclusions. */
+  def dirExcludes(table: String, version: Int): Map[String, Seq[Any]] = {
+    val snapFile = metaDir(table).resolve(s"snap-$version.json")
+    if (!Files.exists(snapFile)) return Map.empty
+    import graft.repair.{JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JsonValue}
+    def scalar(v: JsonValue): Any = v match {
+      case JStr(s) => s
+      case JInt(n) => n
+      case JFloat(d) => d
+      case JBool(b) => b
+      case JNull => null
+      case _ => null
+    }
+    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+      case Some(JObj(f)) => f.get("dir_excludes") match {
+        case Some(JObj(ex)) => ex.collect {
+          case (d, JArr(vs)) => d -> vs.toSeq.map(scalar)
+        }.toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+  }
+
+  /** Keep-filter implementing a dir's exclusion list: a row survives unless
+    * its partition value is in `vals`. Null-safe in both directions — a
+    * null partition value is kept unless null itself was replaced, and an
+    * excluded value never drags null rows with it (bare `!isin` would: its
+    * null result is falsy under `where`). Exclusion values round-trip
+    * through the manifest as BigInt — folded to Long so the partition
+    * column's comparison stays numeric. */
+  private def excludeFilter(pcol: String, vals: Seq[Any])
+      : org.apache.spark.sql.Column = {
+    val hasNull = vals.contains(null)
+    val nonNull = vals.filter(_ != null).map {
+      case b: BigInt => b.toLong: Any
+      case other => other
+    }
+    val keep =
+      if (nonNull.isEmpty) lit(true)
+      else coalesce(!col(pcol).isin(nonNull: _*), lit(true))
+    if (hasNull) keep && col(pcol).isNotNull else keep
+  }
+
+  /** One manifest dir of snapshot `version`, exclusions applied. Excluded
+    * partition subdirs are dropped at LISTING time (their files are never
+    * even enumerated, the readWhere economics), and the row-level
+    * keep-filter still applies as the correctness backstop for partition
+    * values whose on-disk subdir names Spark escapes differently than
+    * their toString (exotic chars) — a name miss then costs pruning, never
+    * rows. */
+  private def readDir(spark: SparkSession, table: String, dir: String,
+      excludes: Map[String, Seq[Any]]): DataFrame = {
+    val dirPath = Paths.get(table, dir)
+    excludes.get(dir) match {
+      case Some(vals) if vals.nonEmpty =>
+        val pc = dirPartitionCol(table, dir).getOrElse(
+          throw new IllegalStateException(
+            s"dir $dir at $table carries exclusions but its writing " +
+              "snapshot records no partition_col — cannot apply them"))
+        val excludedNames = vals.map {
+          case null => s"$pc=__HIVE_DEFAULT_PARTITION__"
+          case v => s"$pc=$v"
+        }.toSet
+        val kept = Files.list(dirPath).iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith(s"$pc="))
+          .filterNot(p => excludedNames(p.getFileName.toString))
+          .toSeq
+        if (kept.isEmpty)
+          // every partition replaced: schema from the (excluded) files,
+          // zero rows
+          spark.read.parquet(dirPath.toString).where(lit(false))
+        else
+          spark.read.option("basePath", dirPath.toString)
+            .parquet(kept.map(_.toString): _*)
+            .where(excludeFilter(pc, vals))
+      case _ => spark.read.parquet(dirPath.toString)
+    }
+  }
+
   /** The partition column recorded by the snapshot that added `dir`. */
   private def dirPartitionCol(table: String, dir: String): Option[String] =
     dir match {
@@ -241,10 +366,11 @@ object TableFormat {
       throw new IllegalStateException(s"no committed snapshot at $table"))
     val dirs = dataDirs(table, v)
     if (dirs.isEmpty) throw new IllegalStateException(s"snapshot $v at $table lists no data")
+    val excludes = dirExcludes(table, v)
     val rangeFilter = col(colName) >= lit(lo) && col(colName) <= lit(hi)
     val reads = dirs.flatMap { d =>
       dirStats(table, d, colName) match {
-        case None => Some(spark.read.parquet(s"$table/$d")) // no stats: keep all
+        case None => Some(readDir(spark, table, d, excludes)) // no stats: keep all
         case Some(parts) =>
           // keep a partition unless it PROVABLY misses [lo, hi]: max < lo
           // or min > hi with a defined comparison. An all-null partition
@@ -255,7 +381,7 @@ object TableFormat {
                  !mx.flatMap(cmp(_, lo)).exists(_ < 0) &&
                  !mn.flatMap(cmp(_, hi)).exists(_ > 0) => pv }
           if (kept.isEmpty) None // whole dir skipped — never even listed
-          else if (kept.size == parts.size) Some(spark.read.parquet(s"$table/$d"))
+          else if (kept.size == parts.size) Some(readDir(spark, table, d, excludes))
           else {
             // read ONLY the kept partition subdirs (basePath keeps the
             // partition column in the schema): the skipped subdirs are
@@ -268,16 +394,25 @@ object TableFormat {
             val pcol = dirPartitionCol(table, d)
             val dirPath = Paths.get(table, d)
             val subPaths = pcol.map(pc => kept.map(v => dirPath.resolve(s"$pc=$v")))
+            // exclusions compose with stats pruning: each branch below ends
+            // with the dir's exclusion keep-filter (on the partition column,
+            // so Spark partition pruning still applies), and the full-dir
+            // fallbacks go through readDir which does the same
+            val exclKeep = (pc: String) => excludes.get(d) match {
+              case Some(vals) if vals.nonEmpty => excludeFilter(pc, vals)
+              case _ => lit(true)
+            }
             if (pcol.isEmpty || kept.contains(null))
-              Some(spark.read.parquet(s"$table/$d"))
+              Some(readDir(spark, table, d, excludes))
             else if (subPaths.get.forall(Files.isDirectory(_)))
               Some(spark.read.option("basePath", dirPath.toString)
-                .parquet(subPaths.get.map(_.toString): _*))
+                .parquet(subPaths.get.map(_.toString): _*)
+                .where(exclKeep(pcol.get)))
             else
               Some(spark.read.parquet(s"$table/$d").where(col(pcol.get).isin(kept.map {
                 case b: BigInt => b.toLong: Any
                 case other => other
-              }: _*)))
+              }: _*) && exclKeep(pcol.get)))
           }
       }
     }
@@ -384,7 +519,13 @@ object TableFormat {
     val dirs = dataDirs(table, toVersion).filterNot(before)
     if (dirs.isEmpty) throw new IllegalStateException(
       s"incremental scan $fromVersion->$toVersion at $table adds no data dirs")
-    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
+    // toVersion's exclusions apply to the delta dirs too: a dir appended at
+    // j in (from, to] may have had partitions replaced by a later overwrite
+    // in the same span — without the filter the delta would double-report
+    // the superseded rows (removed-row tracking is out of scope: an
+    // overwrite's "delta" is its replacement rows)
+    val excludes = dirExcludes(table, toVersion)
+    dirs.map(d => readDir(spark, table, d, excludes)).reduce(_.unionByName(_))
   }
 
   /** Read a snapshot (latest by default) — the union of every data dir in
@@ -397,7 +538,10 @@ object TableFormat {
     if (dirs.isEmpty) throw new IllegalStateException(s"snapshot $v at $table lists no data")
     // one partition-discovered read per manifest dir, unioned — each branch
     // keeps its own PartitionFilters pruning (a single multi-root read
-    // trips Spark's conflicting-directory-structures check)
-    dirs.map(d => spark.read.parquet(s"$table/$d")).reduce(_.unionByName(_))
+    // trips Spark's conflicting-directory-structures check); per-dir
+    // exclusion filters implement overwritePartitions' replaced-rows
+    // semantics at the same partition-pruning level
+    val excludes = dirExcludes(table, v)
+    dirs.map(d => readDir(spark, table, d, excludes)).reduce(_.unionByName(_))
   }
 }

@@ -279,6 +279,43 @@ object ClipQueries {
       .select("clip_id", "sr_hz", "dur_ms", "codec", "bucket")
   }
 
+  /** Clips snapshot with one bucket's out-of-range sr_hz rows corrected and
+    * recommitted via dynamic-partition overwrite — the fix-and-revalidate
+    * cycle: at a 10^12-row table the fix rewrites ONLY bucket 3's
+    * partition (TableFormat.overwritePartitions), never the table; the
+    * carried dirs exclude the replaced partition manifest-side. Staged once
+    * per input (keepDirs pattern). */
+  def stagedOverwriteTable(spark: SparkSession, sfDir: String): String =
+    overwriteDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.io.Scratch.register("graft-clips-overwrite")
+      val base = ClipsTable.base(spark, sfDir)
+      graft.io.TableFormat.commit(base, dir, "bucket")
+      val fixed = base.filter(col("bucket") === 3)
+        .withColumn("sr_hz",
+          when(col("sr_hz") === 7999, lit(16000)).otherwise(col("sr_hz")))
+      graft.io.TableFormat.overwritePartitions(fixed, dir, "bucket")
+      dir
+    })
+  private val overwriteDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Post-overwrite revalidation (per-bucket): row counts and remaining
+    * sr_hz range violations over the overwritten snapshot. The oracle
+    * replays the fix arithmetically on the base CTE (bucket 3's 7999s
+    * become 16000), so equality proves the overwrite read path returns the
+    * fixed partition's replacement rows, all other partitions' originals,
+    * and no ghosts from the replaced files — the corrected bucket must
+    * come back CLEAN while every other bucket's violations are intact. */
+  def overwriteVerdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = stagedOverwriteTable(spark, sfDir)
+    graft.io.TableFormat.read(spark, table)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("sr_hz") < 8000 || col("sr_hz") > 48000, lit(1)))
+          .as("n_sr_bad"))
+  }
+
   /** Incremental validation of an append commit — the production mode for
     * a growing 10^12-row table: validate each commit's DELTA, not the
     * table. The delta rows come from TableFormat.readIncremental (a
@@ -490,6 +527,20 @@ object ClipQueries {
       s"""$C
          |SELECT clip_id, sr_hz, dur_ms, codec, bucket FROM clips
          |WHERE clip_id >= 'clip-000000001000' AND clip_id <= 'clip-000000002999'""".stripMargin,
+    // dynamic-partition overwrite: the fix (bucket 3's 7999 -> 16000) is
+    // replayed arithmetically on the base CTE — per-bucket revalidation
+    // over the overwritten snapshot must match it exactly (the corrected
+    // bucket clean, every other bucket's violations intact, no ghosts)
+    "vc_overwrite" ->
+      s"""$C
+         |SELECT bucket,
+         |       count(*) AS n_rows,
+         |       count(CASE WHEN sr2 < 8000 OR sr2 > 48000 THEN 1 END) AS n_sr_bad
+         |FROM (SELECT bucket,
+         |             CASE WHEN bucket = 3 AND sr_hz = 7999
+         |                  THEN CAST(16000 AS INTEGER) ELSE sr_hz END AS sr2
+         |      FROM clips)
+         |GROUP BY bucket""".stripMargin,
     "vc_transcript_eq" ->
       s"""$C
          |SELECT clip_id, 'transcript_equality' AS check_name

@@ -195,6 +195,108 @@ class TableFormatSpec extends AnyFunSuite {
       s"compacted table lost its stats: ${pruned.inputFiles.length} of $fullFiles read")
   }
 
+  test("overwritePartitions: fix-and-revalidate replaces only the touched partitions") {
+    val table = Files.createTempDirectory("graft-overwrite").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    val v1 = TableFormat.commit(clips, table, "bucket")
+    // the fix cycle: bucket 3's out-of-range sr_hz corrected, ONLY that
+    // partition rewritten
+    val fixed = clips.filter(col("bucket") === 3)
+      .withColumn("sr_hz", when(col("sr_hz") === 7999, lit(16000)).otherwise(col("sr_hz")))
+    val v2 = TableFormat.overwritePartitions(fixed, table, "bucket")
+    assert(v2 == v1 + 1)
+
+    val expected = clips.filter(col("bucket") =!= 3).unionByName(fixed)
+    val got = TableFormat.read(spark, table)
+    assert(got.count() == expected.count() && got.count() == clips.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+    // time travel to v1 still sees the uncorrected originals
+    val old = TableFormat.read(spark, table, Some(v1))
+    assert(old.except(clips).isEmpty && clips.except(old).isEmpty)
+    // the incremental delta of the overwrite is its replacement rows
+    val delta = TableFormat.readIncremental(spark, table, v1, v2)
+    assert(delta.except(fixed).isEmpty && fixed.except(delta).isEmpty)
+    // the replaced partition's v1 files are never opened by the new read
+    assert(!got.inputFiles.exists(f => f.contains("/v1/") && f.contains("/bucket=3/")),
+      "excluded partition subdir was read")
+  }
+
+  test("overwrite composes with append, compaction, and stats-pruned reads") {
+    val table = Files.createTempDirectory("graft-overwrite-mix").toString
+    val clips = ClipsTable.base(spark, sfDir)
+      .withColumn("ord_day", (col("ord") / 256).cast("int"))
+    // split INSIDE day 2 (512-767) so the replaced partition spans both
+    // carried dirs — the overwrite must exclude it from each
+    TableFormat.commit(clips.filter(col("ord") <= 600), table, "ord_day",
+      statsCols = Seq("ord"))
+    TableFormat.append(clips.filter(col("ord") > 600), table, "ord_day",
+      statsCols = Seq("ord"))
+    // replace day 2 with a shifted copy, then append fresh day-2 rows: the
+    // append must NOT resurrect the replaced originals
+    val day2Fix = clips.filter(col("ord_day") === 2)
+      .withColumn("dur_ms", col("dur_ms") + 1000)
+    TableFormat.overwritePartitions(day2Fix, table, "ord_day",
+      statsCols = Seq("ord"))
+    val day2Extra = clips.filter(col("ord").isin(513, 514, 515))
+      .withColumn("clip_id", concat(lit("extra-"), col("clip_id")))
+    assert(day2Fix.count() > 0 && day2Extra.count() > 0, "fixture empty")
+    TableFormat.append(day2Extra, table, "ord_day", statsCols = Seq("ord"))
+
+    val expected = clips.filter(col("ord_day") =!= 2)
+      .unionByName(day2Fix).unionByName(day2Extra)
+    val got = TableFormat.read(spark, table)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+
+    // stats-pruned range read over the overwritten lineage loses no rows
+    // and returns no ghosts from the replaced partition
+    val pruned = TableFormat.readWhere(spark, table, "ord", 600L, 700L)
+    val direct = expected.filter(col("ord") >= 600 && col("ord") <= 700)
+    assert(pruned.count() == direct.count() && direct.count() > 0)
+    assert(pruned.except(direct).isEmpty && direct.except(pruned).isEmpty)
+    assert(pruned.select("dur_ms").collect().forall(_.getInt(0) > 1000),
+      "ghost rows from the replaced partition")
+
+    // compaction materializes the exclusions away and preserves content
+    val vc = TableFormat.compact(spark, table)
+    val compacted = TableFormat.read(spark, table)
+    assert(compacted.except(expected).isEmpty && expected.except(compacted).isEmpty)
+    assert(TableFormat.dirExcludes(table, vc).isEmpty,
+      "compacted snapshot must carry no exclusions")
+  }
+
+  test("an empty append commits a valid, readable snapshot") {
+    val table = Files.createTempDirectory("graft-empty-append").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    TableFormat.commit(clips, table, "bucket")
+    // a commit cycle that adds no rows: the manifest must not reference a
+    // fileless data dir (schema inference over one poisons every read)
+    val v2 = TableFormat.append(clips.filter(lit(false)), table, "bucket")
+    assert(v2 == 2)
+    assert(TableFormat.read(spark, table).count() == clips.count())
+    assert(TableFormat.dataDirs(table, v2) == Seq("data/v1"))
+  }
+
+  test("overwrite exclusion filter is null-safe on the partition column") {
+    val table = Files.createTempDirectory("graft-overwrite-null").toString
+    import spark.implicits._
+    val base = Seq((1L, "p1"), (2L, "p1"), (3L, "p2"), (4L, null: String))
+      .toDF("id", "grp")
+    TableFormat.commit(base, table, "grp")
+    // replacing p1 must keep the null-partition row
+    TableFormat.overwritePartitions(Seq((9L, "p1")).toDF("id", "grp"), table, "grp")
+    val afterP1 = TableFormat.read(spark, table)
+    assert(afterP1.count() == 3)
+    assert(afterP1.filter(col("grp").isNull).count() == 1)
+    assert(afterP1.filter(col("grp") === "p1").select("id").as[Long].collect().toSeq == Seq(9L))
+    // replacing the null partition itself drops only the null rows
+    TableFormat.overwritePartitions(
+      Seq((10L, null: String)).toDF("id", "grp"), table, "grp")
+    val afterNull = TableFormat.read(spark, table)
+    assert(afterNull.count() == 3)
+    assert(afterNull.filter(col("grp").isNull).select("id").as[Long].collect().toSeq == Seq(10L))
+  }
+
   test("readWhere with a fully-disjoint range returns an empty typed frame") {
     val table = Files.createTempDirectory("graft-skip-empty").toString
     val clips = ClipsTable.base(spark, sfDir)
