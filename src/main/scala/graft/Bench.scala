@@ -127,7 +127,10 @@ object Bench {
           Set("vc_skip")),
         ("vc_overwrite_materialize",
           () => { graft.queries.ClipQueries.stagedOverwriteTable(spark, sfDir); () },
-          Set("vc_overwrite")))
+          Set("vc_overwrite")),
+        ("vc_evolve_materialize",
+          () => { graft.queries.ClipQueries.stagedEvolveTable(spark, sfDir); () },
+          Set("vc_evolve")))
       var excluded: String => Boolean = _ => false
       val stagedEntries = stagedBuilds.flatMap { case (entry, build, consumers) =>
         val t0 = System.nanoTime()

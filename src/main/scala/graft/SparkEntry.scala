@@ -43,6 +43,9 @@ object SparkEntry {
     // dynamic-partition-overwrite lifecycle: per-bucket revalidation over a
     // snapshot whose bucket 3 was fixed and recommitted partition-wise
     "vc_overwrite" -> ((s, d) => ClipQueries.overwriteVerdicts(s, d)),
+    // additive schema evolution: per-bucket validation over a lineage whose
+    // append ships a column the base commit lacks
+    "vc_evolve" -> ((s, d) => ClipQueries.evolveVerdicts(s, d)),
     "au_snr_violations" -> ((s, d) => AudioQueries.snrViolations(s, d)),
     "au_dur_mismatch" -> ((s, d) => AudioQueries.durMismatch(s, d)),
     "au_frames" -> ((s, d) => AudioQueries.frames(s, d)),

@@ -87,6 +87,21 @@ object TableFormat {
     val prevExcludes: Map[String, Seq[Any]] =
       if (carryForward) prev.map(v => dirExcludes(table, v)).getOrElse(Map.empty)
       else Map.empty
+    // Additive schema evolution (the Iceberg add-column analogue): an
+    // append/overwrite batch may ADD columns — readers fill pre-evolution
+    // rows with null — but a batch MISSING columns the table already has is
+    // rejected loudly: for a validation engine a silently null-padded
+    // column in NEW data is indistinguishable from the data-quality bugs
+    // the engine exists to catch. The check is manifest-vs-manifest (the
+    // snapshot records its column names), no file IO.
+    if (carryForward) prev.foreach { v =>
+      val prevCols = tableColumns(table, v)
+      val missing = prevCols.filterNot(df.columns.toSet)
+      if (prevCols.nonEmpty && missing.nonEmpty) throw new IllegalArgumentException(
+        s"batch for $table is missing existing columns ${missing.mkString(", ")} — " +
+          "schema evolution on this seam is additive only (drop columns via a " +
+          "full-replace commit, which rewrites the lineage)")
+    }
     val version = prev.getOrElse(0) + 1
     val dataPath = s"data/v$version"
     // one aggregation pass yields the manifest's row counts AND the
@@ -143,9 +158,20 @@ object TableFormat {
     val excludesJson = newExcludes.filter(_._2.nonEmpty).map { case (d, vs) =>
       s"""${jsonKey(d)}: ${vs.map(jsonLit).mkString("[", ", ", "]")}"""
     }.mkString("{", ", ", "}")
+    // the snapshot's column names: the write-side evolution guard reads
+    // them manifest-to-manifest; an empty batch keeps the previous schema
+    // (it wrote no data to evolve anything with)
+    val columnsJson = {
+      val cols =
+        if (countRows.isEmpty)
+          prev.map(v => tableColumns(table, v)).getOrElse(Seq.empty)
+        else df.columns.toSeq
+      cols.map(jsonKey).mkString("[", ", ", "]")
+    }
     val snap =
       s"""{"version": $version, "data_dirs": [$allDirs], "partition_col": "$partitionCol",
          | "stats_cols": $statsColsJson, "dir_excludes": $excludesJson,
+         | "columns": $columnsJson,
          | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
     val tmp = metaDir(table).resolve(".version-hint.tmp")
@@ -227,6 +253,22 @@ object TableFormat {
   }
 
   private val DirVersion = "data/v(\\d+)".r
+
+  /** Column names recorded by snapshot `version`'s manifest (write-side
+    * evolution guard input). Empty for legacy manifests without the field
+    * — the guard then skips, never blocks. */
+  def tableColumns(table: String, version: Int): Seq[String] = {
+    val snapFile = metaDir(table).resolve(s"snap-$version.json")
+    if (!Files.exists(snapFile)) return Seq.empty
+    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+      case Some(graft.repair.JObj(f)) => f.get("columns") match {
+        case Some(graft.repair.JArr(cs)) =>
+          cs.toSeq.collect { case graft.repair.JStr(c) => c }
+        case _ => Seq.empty
+      }
+      case _ => Seq.empty
+    }
+  }
 
   /** Partition values EXCLUDED per data dir by snapshot `version`'s manifest
     * — the read-side contract of [[overwritePartitions]]: rows of these
@@ -419,7 +461,7 @@ object TableFormat {
     if (reads.isEmpty)
       // every dir pruned: an empty frame with the table's schema
       read(spark, table, Some(v)).where(lit(false))
-    else reads.reduce(_.unionByName(_)).where(rangeFilter)
+    else reads.reduce(_.unionByName(_, allowMissingColumns = true)).where(rangeFilter)
   }
 
   def currentVersion(table: String): Option[Int] = {
@@ -525,7 +567,8 @@ object TableFormat {
     // the superseded rows (removed-row tracking is out of scope: an
     // overwrite's "delta" is its replacement rows)
     val excludes = dirExcludes(table, toVersion)
-    dirs.map(d => readDir(spark, table, d, excludes)).reduce(_.unionByName(_))
+    dirs.map(d => readDir(spark, table, d, excludes))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Read a snapshot (latest by default) — the union of every data dir in
@@ -542,6 +585,7 @@ object TableFormat {
     // exclusion filters implement overwritePartitions' replaced-rows
     // semantics at the same partition-pruning level
     val excludes = dirExcludes(table, v)
-    dirs.map(d => readDir(spark, table, d, excludes)).reduce(_.unionByName(_))
+    dirs.map(d => readDir(spark, table, d, excludes))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }

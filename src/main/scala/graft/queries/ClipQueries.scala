@@ -316,6 +316,42 @@ object ClipQueries {
           .as("n_sr_bad"))
   }
 
+  /** Clips snapshot whose lineage EVOLVES mid-stream: the base commit has
+    * no snr_db column; the append ships one (a measured SNR landing in the
+    * pipeline later in the table's life — the additive-schema-evolution
+    * case TableFormat supports). Readers see pre-evolution rows with
+    * snr_db null. Staged once per input (keepDirs pattern). */
+  def stagedEvolveTable(spark: SparkSession, sfDir: String): String =
+    evolveDirs.computeIfAbsent(sfDir, _ => {
+      val dir = graft.io.Scratch.register("graft-clips-evolve")
+      val base = ClipsTable.base(spark, sfDir)
+      graft.io.TableFormat.commit(
+        base.filter(col("ord") % 3 =!= 0), dir, "bucket")
+      graft.io.TableFormat.append(
+        base.filter(col("ord") % 3 === 0)
+          .withColumn("snr_db", col("ord") % 40 + 10),
+        dir, "bucket")
+      dir
+    })
+  private val evolveDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Per-bucket validation over the evolved lineage: row counts, how many
+    * rows carry the late-arriving snr_db column, and its sum. The oracle
+    * replays the evolution arithmetically (ord % 3 = 0 rows carry
+    * ord % 40 + 10, the rest read null), so equality proves the union
+    * schema, the null fill for pre-evolution rows, and the evolved
+    * values all survive the snapshot round trip. */
+  def evolveVerdicts(spark: SparkSession, sfDir: String): DataFrame = {
+    val table = stagedEvolveTable(spark, sfDir)
+    graft.io.TableFormat.read(spark, table)
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("snr_db")).as("n_with_snr"),
+        sum("snr_db").as("snr_sum"))
+  }
+
   /** Incremental validation of an append commit — the production mode for
     * a growing 10^12-row table: validate each commit's DELTA, not the
     * table. The delta rows come from TableFormat.readIncremental (a
@@ -541,6 +577,17 @@ object ClipQueries {
          |                  THEN CAST(16000 AS INTEGER) ELSE sr_hz END AS sr2
          |      FROM clips)
          |GROUP BY bucket""".stripMargin,
+    // additive schema evolution: the late-arriving snr_db column is
+    // replayed arithmetically — pre-evolution rows (ord % 3 <> 0) read
+    // null, evolved rows carry ord % 40 + 10
+    "vc_evolve" ->
+      s"""$C
+         |SELECT bucket,
+         |       count(*) AS n_rows,
+         |       count(CASE WHEN ord % 3 = 0 THEN 1 END) AS n_with_snr,
+         |       cast(sum(CASE WHEN ord % 3 = 0 THEN ord % 40 + 10 END) AS BIGINT)
+         |         AS snr_sum
+         |FROM clips GROUP BY bucket""".stripMargin,
     "vc_transcript_eq" ->
       s"""$C
          |SELECT clip_id, 'transcript_equality' AS check_name

@@ -265,6 +265,38 @@ class TableFormatSpec extends AnyFunSuite {
       "compacted snapshot must carry no exclusions")
   }
 
+  test("additive schema evolution: appended column reads back, old rows null") {
+    val table = Files.createTempDirectory("graft-evolve").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    TableFormat.commit(clips.filter(col("ord") % 3 =!= 0), table, "bucket")
+    // mid-lineage the pipeline starts shipping a measured snr_db column
+    val evolved = clips.filter(col("ord") % 3 === 0)
+      .withColumn("snr_db", col("ord") % 40 + 10)
+    TableFormat.append(evolved, table, "bucket")
+
+    val got = TableFormat.read(spark, table)
+    assert(got.columns.contains("snr_db"))
+    assert(got.count() == clips.count())
+    // pre-evolution rows read the new column as null; evolved rows carry it
+    assert(got.filter(col("snr_db").isNull).count() ==
+      clips.filter(col("ord") % 3 =!= 0).count())
+    assert(got.filter(col("snr_db").isNotNull).count() == evolved.count())
+    // the incremental delta carries the evolved column fully populated
+    val delta = TableFormat.readIncremental(spark, table, 1, 2)
+    assert(delta.columns.contains("snr_db"))
+    assert(delta.filter(col("snr_db").isNull).count() == 0)
+    // a batch MISSING an existing column is rejected loudly (additive only)
+    val ex = intercept[IllegalArgumentException] {
+      TableFormat.append(clips.drop("codec"), table, "bucket")
+    }
+    assert(ex.getMessage.contains("codec"))
+    // compaction rewrites one generation carrying the full evolved schema
+    TableFormat.compact(spark, table)
+    val compacted = TableFormat.read(spark, table)
+    assert(compacted.count() == clips.count())
+    assert(compacted.filter(col("snr_db").isNotNull).count() == evolved.count())
+  }
+
   test("an empty append commits a valid, readable snapshot") {
     val table = Files.createTempDirectory("graft-empty-append").toString
     val clips = ClipsTable.base(spark, sfDir)
