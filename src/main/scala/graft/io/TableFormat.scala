@@ -174,6 +174,19 @@ object TableFormat {
          | "columns": $columnsJson,
          | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
+    // Per-DIR metadata (partition col + column stats), in its own file with
+    // the DATA DIR's lifetime — found by the lifecycle model test (seed 7):
+    // snapshot manifests are deleted by expireSnapshots while their data
+    // dirs live on under retained snapshots, so dir-scoped metadata parked
+    // in snap-<k>.json dies too early — an expired overwrite target then
+    // failed loudly ("carries exclusions but ... no partition_col") and
+    // stats pruning silently degraded to full scans. Readers prefer this
+    // file and fall back to the snap manifest for pre-existing tables;
+    // expiry deletes it only alongside its data dir.
+    if (countRows.nonEmpty)
+      Files.writeString(metaDir(table).resolve(s"dir-v$version.json"),
+        s"""{"partition_col": "$partitionCol", "stats_cols": $statsColsJson,
+           | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin)
     val tmp = metaDir(table).resolve(".version-hint.tmp")
     Files.writeString(tmp, version.toString)
     Files.move(tmp, metaDir(table).resolve("version-hint.txt"),
@@ -206,12 +219,6 @@ object TableFormat {
     * correctness gate). Min/max of None = an all-null partition. */
   def dirStats(table: String, dir: String, colName: String)
       : Option[Seq[(Any, Option[Any], Option[Any])]] = {
-    val ver = dir match {
-      case DirVersion(v) => v.toInt
-      case _ => return None // legacy single-dir layout: no stats
-    }
-    val snapFile = metaDir(table).resolve(s"snap-$ver.json")
-    if (!Files.exists(snapFile)) return None
     import graft.repair.{JArr, JObj, JStr, JInt, JFloat, JBool, JsonValue}
     def scalar(v: JsonValue): Any = v match {
       case JStr(s) => s
@@ -220,8 +227,8 @@ object TableFormat {
       case JBool(b) => b
       case _ => null
     }
-    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
-      case Some(JObj(f)) =>
+    dirMetaFields(table, dir) match {
+      case Some(f) =>
         val hasCol = f.get("stats_cols") match {
           case Some(JArr(cs)) => cs.exists { case JStr(c) => c == colName; case _ => false }
           case _ => false
@@ -253,6 +260,26 @@ object TableFormat {
   }
 
   private val DirVersion = "data/v(\\d+)".r
+
+  /** The metadata fields describing data dir `dir`: its own `dir-v<k>.json`
+    * (lifetime = the dir's, survives snapshot expiry) when present, else
+    * the writing snapshot's manifest (pre-dir-meta tables), else None
+    * (legacy single-dir layout, or both files expired). */
+  private def dirMetaFields(table: String, dir: String)
+      : Option[Map[String, graft.repair.JsonValue]] = {
+    val ver = dir match {
+      case DirVersion(v) => v.toInt
+      case _ => return None
+    }
+    Seq(s"dir-v$ver.json", s"snap-$ver.json").iterator
+      .map(metaDir(table).resolve(_))
+      .filter(Files.exists(_))
+      .flatMap(p => graft.repair.PyJson.loads(Files.readString(p)) match {
+        case Some(graft.repair.JObj(f)) => Some(f.toMap)
+        case _ => None
+      })
+      .nextOption()
+  }
 
   /** Column names recorded by snapshot `version`'s manifest (write-side
     * evolution guard input). Empty for legacy manifests without the field
@@ -354,20 +381,11 @@ object TableFormat {
     }
   }
 
-  /** The partition column recorded by the snapshot that added `dir`. */
+  /** The partition column recorded for the writing of `dir` (dir-meta
+    * file first; snap manifest fallback — see [[dirMetaFields]]). */
   private def dirPartitionCol(table: String, dir: String): Option[String] =
-    dir match {
-      case DirVersion(v) =>
-        val snapFile = metaDir(table).resolve(s"snap-$v.json")
-        if (!Files.exists(snapFile)) None
-        else graft.repair.PyJson.loads(Files.readString(snapFile)) match {
-          case Some(graft.repair.JObj(f)) => f.get("partition_col") match {
-            case Some(graft.repair.JStr(c)) => Some(c)
-            case _ => None
-          }
-          case _ => None
-        }
-      case _ => None
+    dirMetaFields(table, dir).flatMap(_.get("partition_col")).collect {
+      case graft.repair.JStr(c) => c
     }
 
   /** Total order over manifest-stat scalars for pruning comparisons.
@@ -495,6 +513,15 @@ object TableFormat {
       expired.foreach { v =>
         dataDirs(table, v).filterNot(referenced).foreach { d =>
           graft.io.Scratch.deleteRecursively(Paths.get(table, d).toString)
+          // the dir-meta file shares the DATA DIR's lifetime, not the
+          // snapshot's: a retained snapshot may still reference this dir
+          // (and need its partition col / stats) long after the snapshot
+          // that wrote it expired
+          d match {
+            case DirVersion(k) =>
+              Files.deleteIfExists(metaDir(table).resolve(s"dir-v$k.json"))
+            case _ =>
+          }
         }
         Files.deleteIfExists(metaDir(table).resolve(s"snap-$v.json"))
       }
