@@ -482,6 +482,39 @@ object TableFormat {
     else reads.reduce(_.unionByName(_, allowMissingColumns = true)).where(rangeFilter)
   }
 
+  /** Roll the table back to `toVersion` — the Iceberg rollback analogue:
+    * commits a NEW snapshot whose manifest duplicates the target's data
+    * dirs, exclusions, and schema, so the bad commits stay on history
+    * (auditable, and reclaimable by [[expireSnapshots]]) while readers of
+    * the current version see the pre-damage state immediately. O(1): one
+    * manifest write, no data IO — the undo a 10^12-row table can actually
+    * afford. The rollback snapshot itself ADDS no data dir, so appends and
+    * overwrites continue on top of it normally. Fails loudly if the target
+    * manifest was expired. */
+  def rollback(table: String, toVersion: Int): Int = {
+    val targetFile = metaDir(table).resolve(s"snap-$toVersion.json")
+    if (!Files.exists(targetFile)) throw new IllegalStateException(
+      s"cannot roll back $table to v$toVersion: its manifest is expired or never existed")
+    val current = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $table"))
+    val version = current + 1
+    graft.repair.PyJson.loads(Files.readString(targetFile)) match {
+      case Some(graft.repair.JObj(f)) =>
+        f.update("version", graft.repair.JInt(version))
+        // this snapshot adds nothing; per-dir stats live with the dirs
+        f.update("partitions_added", graft.repair.JArr.empty)
+        Files.writeString(metaDir(table).resolve(s"snap-$version.json"),
+          graft.repair.PyJson.dumps(graft.repair.JObj(f)))
+      case _ => throw new IllegalStateException(
+        s"unreadable snapshot manifest snap-$toVersion.json at $table")
+    }
+    val tmp = metaDir(table).resolve(".version-hint.tmp")
+    Files.writeString(tmp, version.toString)
+    Files.move(tmp, metaDir(table).resolve("version-hint.txt"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    version
+  }
+
   def currentVersion(table: String): Option[Int] = {
     val hint = metaDir(table).resolve("version-hint.txt")
     if (Files.exists(hint)) Some(Files.readString(hint).trim.toInt) else None

@@ -329,6 +329,29 @@ class TableFormatSpec extends AnyFunSuite {
     assert(afterNull.filter(col("grp").isNull).select("id").as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("rollback: O(1) undo to a retained version, history continues on top") {
+    val table = Files.createTempDirectory("graft-rollback").toString
+    val clips = ClipsTable.base(spark, sfDir)
+    val v1 = TableFormat.commit(clips.filter(col("ord") <= 600), table, "bucket")
+    TableFormat.append(clips.filter(col("ord") > 600), table, "bucket")
+    // the second commit turns out bad: instant undo, no data IO
+    val v3 = TableFormat.rollback(table, v1)
+    assert(v3 == 3)
+    val rolled = TableFormat.read(spark, table)
+    val expected = clips.filter(col("ord") <= 600)
+    assert(rolled.count() == expected.count())
+    assert(rolled.except(expected).isEmpty && expected.except(rolled).isEmpty)
+    // the bad commit stays on history (auditable) until expired
+    assert(TableFormat.read(spark, table, Some(2)).count() == clips.count())
+    // life continues on top of the rollback: appends land normally
+    TableFormat.append(clips.filter(col("ord") > 600), table, "bucket")
+    assert(TableFormat.read(spark, table).count() == clips.count())
+    // rolling back to an expired version fails loudly
+    TableFormat.expireSnapshots(table, keep = 1)
+    val ex = intercept[IllegalStateException] { TableFormat.rollback(table, v1) }
+    assert(ex.getMessage.contains("expired"))
+  }
+
   test("readWhere with a fully-disjoint range returns an empty typed frame") {
     val table = Files.createTempDirectory("graft-skip-empty").toString
     val clips = ClipsTable.base(spark, sfDir)

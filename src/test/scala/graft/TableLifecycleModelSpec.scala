@@ -86,13 +86,14 @@ class TableLifecycleModelSpec extends AnyFunSuite {
     while (ops < 24) {
       ops += 1
       if (ops == evolveAt) evolved = true
-      val op = rnd.nextInt(10) match {
+      val op = rnd.nextInt(11) match {
         case 0 => "commit"
         case 1 | 2 | 3 => "append"
         case 4 | 5 => "overwrite"
         case 6 => "append_empty"
         case 7 => "compact"
         case 8 => "expire"
+        case 9 => "rollback"
         case _ => "append"
       }
       op match {
@@ -124,6 +125,14 @@ class TableLifecycleModelSpec extends AnyFunSuite {
           history += v -> model
         case "compact" =>
           val v = TableFormat.compact(spark, table)
+          history += v -> model
+        case "rollback" =>
+          // undo back to any retained version; the model is that version's
+          // recorded state
+          val targets = history.keys.toSeq.sorted
+          val target = targets(rnd.nextInt(targets.size))
+          val v = TableFormat.rollback(table, target)
+          model = history(target)
           history += v -> model
         case "expire" =>
           val keep = 1 + rnd.nextInt(3)
