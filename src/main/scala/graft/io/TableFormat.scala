@@ -89,11 +89,16 @@ object TableFormat {
       else Map.empty
     // Additive schema evolution (the Iceberg add-column analogue): an
     // append/overwrite batch may ADD columns — readers fill pre-evolution
-    // rows with null — but a batch MISSING columns the table already has is
-    // rejected loudly: for a validation engine a silently null-padded
-    // column in NEW data is indistinguishable from the data-quality bugs
-    // the engine exists to catch. The check is manifest-vs-manifest (the
-    // snapshot records its column names), no file IO.
+    // rows with null — but a batch MISSING columns the table already has,
+    // CHANGING an existing column's type, or targeting a DIFFERENT
+    // partition column is rejected loudly. All three are deferred-failure
+    // bombs if allowed through: a missing column silently null-pads new
+    // data, a type change commits fine and then poisons every read at
+    // unionByName, and a mismatched partition column records dir_excludes
+    // values that an overwrite would apply to the WRONG column of the
+    // carried dirs (silently deleting unrelated partitions). The checks
+    // are manifest-vs-manifest (the snapshot records names and types),
+    // no file IO.
     if (carryForward) prev.foreach { v =>
       val prevCols = tableColumns(table, v)
       val missing = prevCols.filterNot(df.columns.toSet)
@@ -101,6 +106,22 @@ object TableFormat {
         s"batch for $table is missing existing columns ${missing.mkString(", ")} — " +
           "schema evolution on this seam is additive only (drop columns via a " +
           "full-replace commit, which rewrites the lineage)")
+      val prevTypes = tableSchema(table, v)
+      val dfTypes = df.schema.fields.map(f => f.name -> f.dataType.catalogString).toMap
+      val changed = prevTypes.collect {
+        case (c, t) if dfTypes.get(c).exists(_ != t) => s"$c: $t -> ${dfTypes(c)}"
+      }
+      if (changed.nonEmpty) throw new IllegalArgumentException(
+        s"batch for $table changes existing column types (${changed.mkString("; ")}) — " +
+          "a type change would commit fine and then fail every subsequent read " +
+          "at union time; rewrite the lineage with a full-replace commit instead")
+      snapPartitionCol(table, v).foreach { pc =>
+        if (pc != partitionCol) throw new IllegalArgumentException(
+          s"batch for $table targets partition column '$partitionCol' but the " +
+            s"table is partitioned by '$pc' — an overwrite would exclude " +
+            s"'$partitionCol' VALUES from dirs partitioned by '$pc', silently " +
+            "dropping unrelated partitions (repartition via a full-replace commit)")
+      }
     }
     val version = prev.getOrElse(0) + 1
     val dataPath = s"data/v$version"
@@ -154,24 +175,38 @@ object TableFormat {
     Files.createDirectories(metaDir(table))
     val newDirs = if (countRows.isEmpty) prevDirs else prevDirs :+ dataPath
     val allDirs = newDirs.map(d => s""""$d"""").mkString(", ")
+    // the DIR records its own stats (what this batch measured); the
+    // SNAPSHOT records the table's stats CONTRACT — the union with the
+    // carried manifest's, so one stat-less append can't make a later
+    // compact() silently drop the stats every readWhere depends on
+    val contractStatsCols =
+      if (carryForward)
+        (prev.map(v => snapStatsCols(table, v)).getOrElse(Seq.empty) ++ statsCols).distinct
+      else statsCols
     val statsColsJson = statsCols.map(jsonKey).mkString("[", ", ", "]")
+    val contractStatsJson = contractStatsCols.map(jsonKey).mkString("[", ", ", "]")
+    val schemaJson = df.schema.fields
+      .map(f => s"${jsonKey(f.name)}: ${jsonKey(f.dataType.catalogString)}")
+      .mkString("{", ", ", "}")
     val excludesJson = newExcludes.filter(_._2.nonEmpty).map { case (d, vs) =>
       s"""${jsonKey(d)}: ${vs.map(jsonLit).mkString("[", ", ", "]")}"""
     }.mkString("{", ", ", "}")
-    // the snapshot's column names: the write-side evolution guard reads
-    // them manifest-to-manifest; an empty batch keeps the previous schema
-    // (it wrote no data to evolve anything with)
-    val columnsJson = {
-      val cols =
-        if (countRows.isEmpty)
-          prev.map(v => tableColumns(table, v)).getOrElse(Seq.empty)
-        else df.columns.toSeq
-      cols.map(jsonKey).mkString("[", ", ", "]")
-    }
+    // the snapshot's column names + types: the write-side evolution guard
+    // reads them manifest-to-manifest; an empty batch keeps the previous
+    // schema (it wrote no data to evolve anything with)
+    val (columnsJson, schemaJsonFinal) =
+      if (countRows.isEmpty) {
+        val cols = prev.map(v => tableColumns(table, v)).getOrElse(Seq.empty)
+        val types = prev.map(v => tableSchema(table, v)).getOrElse(Map.empty)
+        (cols.map(jsonKey).mkString("[", ", ", "]"),
+          cols.flatMap(c => types.get(c).map(t => s"${jsonKey(c)}: ${jsonKey(t)}"))
+            .mkString("{", ", ", "}"))
+      } else
+        (df.columns.toSeq.map(jsonKey).mkString("[", ", ", "]"), schemaJson)
     val snap =
       s"""{"version": $version, "data_dirs": [$allDirs], "partition_col": "$partitionCol",
-         | "stats_cols": $statsColsJson, "dir_excludes": $excludesJson,
-         | "columns": $columnsJson,
+         | "stats_cols": $contractStatsJson, "dir_excludes": $excludesJson,
+         | "columns": $columnsJson, "schema": $schemaJsonFinal,
          | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin
     Files.writeString(metaDir(table).resolve(s"snap-$version.json"), snap)
     // Per-DIR metadata (partition col + column stats), in its own file with
@@ -219,14 +254,8 @@ object TableFormat {
     * correctness gate). Min/max of None = an all-null partition. */
   def dirStats(table: String, dir: String, colName: String)
       : Option[Seq[(Any, Option[Any], Option[Any])]] = {
-    import graft.repair.{JArr, JObj, JStr, JInt, JFloat, JBool, JsonValue}
-    def scalar(v: JsonValue): Any = v match {
-      case JStr(s) => s
-      case JInt(n) => n
-      case JFloat(d) => d
-      case JBool(b) => b
-      case _ => null
-    }
+    import graft.repair.{JArr, JObj, JStr}
+    def scalar(v: graft.repair.JsonValue): Any = jsonScalar(v)
     dirMetaFields(table, dir) match {
       case Some(f) =>
         val hasCol = f.get("stats_cols") match {
@@ -284,17 +313,56 @@ object TableFormat {
   /** Column names recorded by snapshot `version`'s manifest (write-side
     * evolution guard input). Empty for legacy manifests without the field
     * — the guard then skips, never blocks. */
-  def tableColumns(table: String, version: Int): Seq[String] = {
-    val snapFile = metaDir(table).resolve(s"snap-$version.json")
-    if (!Files.exists(snapFile)) return Seq.empty
-    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
-      case Some(graft.repair.JObj(f)) => f.get("columns") match {
-        case Some(graft.repair.JArr(cs)) =>
-          cs.toSeq.collect { case graft.repair.JStr(c) => c }
-        case _ => Seq.empty
-      }
+  def tableColumns(table: String, version: Int): Seq[String] =
+    snapField(table, version, "columns") match {
+      case Some(graft.repair.JArr(cs)) =>
+        cs.toSeq.collect { case graft.repair.JStr(c) => c }
       case _ => Seq.empty
     }
+
+  /** Column name → catalog type recorded by snapshot `version`'s manifest
+    * (write-side type-evolution guard input). Empty for legacy manifests. */
+  def tableSchema(table: String, version: Int): Map[String, String] =
+    snapField(table, version, "schema") match {
+      case Some(graft.repair.JObj(f)) => f.collect {
+        case (c, graft.repair.JStr(t)) => c -> t
+      }.toMap
+      case _ => Map.empty
+    }
+
+  /** The partition column recorded by snapshot `version`'s manifest. */
+  def snapPartitionCol(table: String, version: Int): Option[String] =
+    snapField(table, version, "partition_col").collect {
+      case graft.repair.JStr(c) => c
+    }
+
+  /** The snapshot-level stats CONTRACT (union of every statsCols the
+    * lineage has carried — see the writeSnapshot note). */
+  def snapStatsCols(table: String, version: Int): Seq[String] =
+    snapField(table, version, "stats_cols") match {
+      case Some(graft.repair.JArr(cs)) =>
+        cs.toSeq.collect { case graft.repair.JStr(c) => c }
+      case _ => Seq.empty
+    }
+
+  private def snapField(table: String, version: Int, field: String)
+      : Option[graft.repair.JsonValue] = {
+    val snapFile = metaDir(table).resolve(s"snap-$version.json")
+    if (!Files.exists(snapFile)) return None
+    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
+      case Some(graft.repair.JObj(f)) => f.get(field)
+      case _ => None
+    }
+  }
+
+  /** JSON manifest scalar → JVM value (shared by the stats and excludes
+    * readers — keep the decoding in ONE place). */
+  private def jsonScalar(v: graft.repair.JsonValue): Any = v match {
+    case graft.repair.JStr(s) => s
+    case graft.repair.JInt(n) => n
+    case graft.repair.JFloat(d) => d
+    case graft.repair.JBool(b) => b
+    case _ => null
   }
 
   /** Partition values EXCLUDED per data dir by snapshot `version`'s manifest
@@ -302,24 +370,11 @@ object TableFormat {
     * partition values in the named dirs were replaced by a later dir and
     * must not be read. Missing/legacy field → no exclusions. */
   def dirExcludes(table: String, version: Int): Map[String, Seq[Any]] = {
-    val snapFile = metaDir(table).resolve(s"snap-$version.json")
-    if (!Files.exists(snapFile)) return Map.empty
-    import graft.repair.{JArr, JBool, JFloat, JInt, JNull, JObj, JStr, JsonValue}
-    def scalar(v: JsonValue): Any = v match {
-      case JStr(s) => s
-      case JInt(n) => n
-      case JFloat(d) => d
-      case JBool(b) => b
-      case JNull => null
-      case _ => null
-    }
-    graft.repair.PyJson.loads(Files.readString(snapFile)) match {
-      case Some(JObj(f)) => f.get("dir_excludes") match {
-        case Some(JObj(ex)) => ex.collect {
-          case (d, JArr(vs)) => d -> vs.toSeq.map(scalar)
-        }.toMap
-        case _ => Map.empty
-      }
+    import graft.repair.{JArr, JObj}
+    snapField(table, version, "dir_excludes") match {
+      case Some(JObj(ex)) => ex.collect {
+        case (d, JArr(vs)) => d -> vs.toSeq.map(jsonScalar)
+      }.toMap
       case _ => Map.empty
     }
   }
@@ -392,7 +447,16 @@ object TableFormat {
     * JSON round-trips numbers as BigInt/Double; callers pass Int/Long/
     * String bounds. Mixed string/number → None (caller must not prune). */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UTF-8 byte order, NOT String.compareTo: Spark orders strings by
+    // unsigned UTF-8 bytes (UTF8String binary collation) while Java
+    // compareTo orders by UTF-16 code units — they disagree for
+    // supplementary characters vs [U+E000, U+FFFF], and a divergent order
+    // here would let the pruner drop a partition Spark's own comparison
+    // would have matched (pruning must never be a correctness gate)
+    case (x: String, y: String) =>
+      Some(java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case (x, y) =>
       def num(v: Any): Option[BigDecimal] = v match {
         case n: BigInt => Some(BigDecimal(n))
@@ -477,8 +541,12 @@ object TableFormat {
       }
     }
     if (reads.isEmpty)
-      // every dir pruned: an empty frame with the table's schema
-      read(spark, table, Some(v)).where(lit(false))
+      // every dir pruned: an empty frame with the table's schema, derived
+      // from the NEWEST dir only — its schema is a superset of every older
+      // dir's (the additive-evolution write guard enforces it), and listing
+      // one dir keeps the cheapest possible query (a no-match lookup) from
+      // paying the table-wide file listing a full read() would
+      spark.read.parquet(s"$table/${dirs.last}").where(lit(false))
     else reads.reduce(_.unionByName(_, allowMissingColumns = true)).where(rangeFilter)
   }
 
@@ -571,30 +639,16 @@ object TableFormat {
     * Returns the new snapshot version. */
   def compact(spark: SparkSession, table: String): Int = {
     val current = read(spark, table)
-    val (partitionCol, statsCols) = {
-      val snapFile = metaDir(table).resolve(
-        s"snap-${currentVersion(table).get}.json")
-      graft.repair.PyJson.loads(java.nio.file.Files.readString(snapFile)) match {
-        case Some(graft.repair.JObj(f)) =>
-          val pc = f.get("partition_col") match {
-            case Some(graft.repair.JStr(c)) => c
-            case _ => throw new IllegalStateException(
-              s"snapshot manifest at $table lists no partition_col")
-          }
-          // carry the column-stats contract through the rewrite — a
-          // compaction that silently dropped stats would turn every
-          // subsequent readWhere into a full scan
-          val sc = f.get("stats_cols") match {
-            case Some(graft.repair.JArr(cs)) =>
-              cs.toSeq.collect { case graft.repair.JStr(c) => c }
-            case _ => Seq.empty[String]
-          }
-          (pc, sc)
-        case _ => throw new IllegalStateException(
-          s"unreadable snapshot manifest at $table")
-      }
-    }
-    commit(current, table, partitionCol, statsCols)
+    val v = currentVersion(table).getOrElse(throw new IllegalStateException(
+      s"no committed snapshot at $table"))
+    val partitionCol = snapPartitionCol(table, v).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot manifest at $table lists no partition_col"))
+    // carry the column-stats CONTRACT through the rewrite (the manifest
+    // records the union over the lineage, so a stat-less append can't
+    // launder the stats away) — a compaction that dropped stats would turn
+    // every subsequent readWhere into a full scan
+    commit(current, table, partitionCol, snapStatsCols(table, v))
   }
 
   /** Incremental scan (the Iceberg incremental-append-scan analogue): the

@@ -329,6 +329,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(afterNull.filter(col("grp").isNull).select("id").as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("write guards: type change and partition-col mismatch fail loudly; stats contract survives a stat-less append") {
+    val table = Files.createTempDirectory("graft-guards").toString
+    val clips = ClipsTable.base(spark, sfDir)
+      .withColumn("ord_day", (col("ord") / 256).cast("int"))
+    TableFormat.commit(clips.filter(col("ord") <= 600), table, "ord_day",
+      statsCols = Seq("ord"))
+    // changing an existing column's TYPE would commit fine and then poison
+    // every read at union time — rejected at the write instead
+    val exType = intercept[IllegalArgumentException] {
+      TableFormat.append(
+        clips.filter(col("ord") > 600)
+          .withColumn("sr_hz", col("sr_hz").cast("string")), table, "ord_day")
+    }
+    assert(exType.getMessage.contains("sr_hz"))
+    // targeting a different partition column would record dir_excludes
+    // values an overwrite applies to the WRONG column of carried dirs
+    val exPc = intercept[IllegalArgumentException] {
+      TableFormat.overwritePartitions(
+        clips.filter(col("ord") > 600), table, "bucket")
+    }
+    assert(exPc.getMessage.contains("ord_day"))
+    // a stat-less append must not launder the stats contract away: after
+    // compaction, range reads still prune
+    TableFormat.append(clips.filter(col("ord") > 600), table, "ord_day") // no statsCols
+    TableFormat.compact(spark, table)
+    val pruned = TableFormat.readWhere(spark, table, "ord", 100L, 200L)
+    val direct = clips.filter(col("ord") >= 100 && col("ord") <= 200)
+    assert(pruned.count() == direct.count() && direct.count() > 0)
+    val fullFiles = TableFormat.read(spark, table).inputFiles.length
+    assert(pruned.inputFiles.length < fullFiles,
+      s"stats contract lost: ${pruned.inputFiles.length} of $fullFiles files read")
+  }
+
   test("rollback: O(1) undo to a retained version, history continues on top") {
     val table = Files.createTempDirectory("graft-rollback").toString
     val clips = ClipsTable.base(spark, sfDir)

@@ -78,7 +78,7 @@ class TableLifecycleModelSpec extends AnyFunSuite {
     // op 0 is always a commit so the table exists; the model is the batch
     // itself, derived independently of anything the table reads back
     val rows0 = batch(12)
-    val v0 = TableFormat.commit(toDf(rows0, evolved), table, "grp")
+    val v0 = TableFormat.commit(toDf(rows0, evolved), table, "grp", statsCols = Seq("id"))
     model = rows0.toSet
     history += v0 -> model
 
@@ -99,13 +99,13 @@ class TableLifecycleModelSpec extends AnyFunSuite {
       op match {
         case "commit" =>
           val rows = batch(4 + rnd.nextInt(8))
-          val v = TableFormat.commit(toDf(rows, evolved), table, "grp")
+          val v = TableFormat.commit(toDf(rows, evolved), table, "grp", statsCols = Seq("id"))
           model = rows.toSet
           history += v -> model
         case "append" =>
           val rows = batch(3 + rnd.nextInt(6))
           val before = TableFormat.currentVersion(table).get
-          val v = TableFormat.append(toDf(rows, evolved), table, "grp")
+          val v = TableFormat.append(toDf(rows, evolved), table, "grp", statsCols = Seq("id"))
           model = model ++ rows
           history += v -> model
           // the incremental delta of an append is exactly its batch
@@ -120,7 +120,7 @@ class TableLifecycleModelSpec extends AnyFunSuite {
         case "overwrite" =>
           val rows = batch(2 + rnd.nextInt(5))
           val replaced = rows.map(_.grp).toSet
-          val v = TableFormat.overwritePartitions(toDf(rows, evolved), table, "grp")
+          val v = TableFormat.overwritePartitions(toDf(rows, evolved), table, "grp", statsCols = Seq("id"))
           model = model.filterNot(r => replaced(r.grp)) ++ rows
           history += v -> model
         case "compact" =>
@@ -145,6 +145,16 @@ class TableLifecycleModelSpec extends AnyFunSuite {
       assert(got == model,
         s"op $ops ($op): table/model divergence — " +
           s"extra=${(got -- model).take(3)} missing=${(model -- got).take(3)}")
+      // stats-pruned range read composed with whatever just happened
+      // (overwrite exclusions, rollback, expiry, evolution): readWhere must
+      // equal the model filtered by the same closed range, every time
+      val lo = rnd.nextLong(math.max(1L, nextId))
+      val hi = lo + rnd.nextLong(20) + 1
+      val prunedGot = collectTable(TableFormat.readWhere(spark, table, "id", lo, hi))
+      val prunedExp = model.filter(r => r.id >= lo && r.id <= hi)
+      assert(prunedGot == prunedExp,
+        s"op $ops ($op): readWhere($lo, $hi) diverged — " +
+          s"extra=${(prunedGot -- prunedExp).take(3)} missing=${(prunedExp -- prunedGot).take(3)}")
     }
 
     // time travel: every retained version still reads its recorded state
