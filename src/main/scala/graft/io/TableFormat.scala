@@ -77,9 +77,34 @@ object TableFormat {
     writeSnapshot(df, table, partitionCol, carryForward = true, statsCols,
       overwrite = true)
 
-  private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
+  private def writeSnapshot(dfIn: DataFrame, table: String, partitionCol: String,
       carryForward: Boolean, statsCols: Seq[String] = Nil,
       overwrite: Boolean = false): Int = {
+    // ONE evaluation of the batch for BOTH the manifest aggregation and the
+    // data write (round-7, per the round-6 advice): the manifest's row
+    // counts, min/max stats, and overwrite exclusion values were previously
+    // collected from one evaluation of `df` while the parquet write
+    // re-evaluated it — for a non-deterministic batch (sample/rand/source
+    // mutated between actions) the recorded bounds could fail to cover the
+    // written rows, and since readWhere PRUNES on them, pruning silently
+    // became correctness-bearing. Persisting pins one row set for both
+    // observers (the cheaper of the two fixes the advice names; blocks
+    // spill to disk rather than recompute, and a lost block in a
+    // multi-node deployment recomputes the SAME rows only for a
+    // deterministic plan — a production seam would derive stats from the
+    // written files, as Iceberg does). Side benefit at any scale: the
+    // batch derivation (e.g. the keep table's anti-join) runs once, not
+    // twice. Already-persisted inputs are left untouched (persist() would
+    // throw on a storage-level change, and the caller owns that cache).
+    val ownCache = dfIn.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val df = if (ownCache) dfIn.persist() else dfIn
+    try writeSnapshotInner(df, table, partitionCol, carryForward, statsCols, overwrite)
+    finally { if (ownCache) df.unpersist(false) }
+  }
+
+  private def writeSnapshotInner(df: DataFrame, table: String, partitionCol: String,
+      carryForward: Boolean, statsCols: Seq[String],
+      overwrite: Boolean): Int = {
     val prev = currentVersion(table)
     val prevDirs =
       if (carryForward) prev.map(v => dataDirs(table, v)).getOrElse(Seq.empty)
@@ -139,6 +164,17 @@ object TableFormat {
     val countRows = df.groupBy(col(partitionCol))
       .agg(count(lit(1)).as("n"), statAggs: _*)
       .collect()
+    // An empty FULL-REPLACE is rejected loudly (round-7, per the round-6
+    // advice): it used to commit a manifest with "data_dirs": [] and
+    // atomically advance the version hint, after which every
+    // read/readWhere/compact threw 'lists no data' — a poisoned current
+    // snapshot produced silently at write time. Empty APPENDS stay valid
+    // (a commit cycle that added no rows is a normal lineage event; the
+    // carried dirs keep the snapshot readable).
+    if (!carryForward && countRows.isEmpty) throw new IllegalArgumentException(
+      s"refusing an empty full-replace commit at $table: it would produce a " +
+        "current snapshot with no data dirs, unreadable until the next " +
+        "commit (append an empty batch instead if this cycle added no rows)")
 
     // Repartition BY THE PARTITION COLUMN before the dynamic-partition
     // write: without it every upstream task owns rows of every partition
@@ -419,11 +455,16 @@ object TableFormat {
           case null => s"$pc=__HIVE_DEFAULT_PARTITION__"
           case v => s"$pc=$v"
         }.toSet
-        val kept = Files.list(dirPath).iterator().asScala
-          .filter(p => Files.isDirectory(p) &&
-            p.getFileName.toString.startsWith(s"$pc="))
-          .filterNot(p => excludedNames(p.getFileName.toString))
-          .toSeq
+        // Files.list streams hold a directory fd until closed — materialize
+        // inside Using so repeated snapshot reads on one long-lived JVM
+        // (the bench sweep) don't leak descriptors (round-6 advice)
+        val kept = scala.util.Using.resource(Files.list(dirPath)) { s =>
+          s.iterator().asScala
+            .filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.startsWith(s"$pc="))
+            .filterNot(p => excludedNames(p.getFileName.toString))
+            .toSeq
+        }
         if (kept.isEmpty)
           // every partition replaced: schema from the (excluded) files,
           // zero rows
@@ -591,11 +632,14 @@ object TableFormat {
   def snapshots(table: String): Seq[Int] = {
     val dir = metaDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
-      .map(_.stripPrefix("snap-").stripSuffix(".json").toInt)
-      .toSeq.sorted
+    else scala.util.Using.resource(Files.list(dir)) { s =>
+      // same fd-lifetime discipline as readDir's listing (round-6 advice)
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+        .map(_.stripPrefix("snap-").stripSuffix(".json").toInt)
+        .toSeq.sorted
+    }
   }
 
   /** Expire all but the newest `keep` snapshots — the Iceberg

@@ -431,7 +431,15 @@ object ClipQueries {
     // decomposition in lockstep with verdicts' semantics: n_retro =
     // affected rows that verdicts would NOT have counted bad before
     val noUnique = s.copy(checks = s.checks.filterNot(_.isInstanceOf[Unique]))
-    val retro = CheckCompiler.verdicts(v1.join(flippedGroups, Seq("clip_id")), noUnique)
+    // NULL-SAFE semi join (round-7, per the round-6 advice):
+    // incrementalDupGroups groups NULL keys together (the documented
+    // null-safe Unique semantics), so the v1 row affected by a NULL-key
+    // group must be recovered by the same <=> comparison — a plain
+    // equi-join would never match it and n_retro would undercount exactly
+    // when a NULL-key append collides with a single NULL-key v1 row
+    val retro = CheckCompiler.verdicts(
+      v1.join(flippedGroups,
+        v1("clip_id") <=> flippedGroups("clip_id"), "left_semi"), noUnique)
       .select(col("bucket"), (col("n_rows") - col("n_bad")).as("n_retro"))
     before
       .join(deltaBad, Seq("bucket"), "full_outer")
