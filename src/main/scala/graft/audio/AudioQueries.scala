@@ -85,8 +85,10 @@ object AudioQueries {
           val extra = if (m.ord % 157 == 0) 7 else 0
           val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
           if (need > buf.length) buf = new Array[Byte](need)
-          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
-          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          // fused synth+validate (round-7): one pass, one sine per sample —
+          // bit-identical to synthInto + validateVsClean (PureSpec parity)
+          val (len, snr, n) =
+            Wav.synthValidateInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
           val (nFrames, rmsMean, rmsMax, meanSq) = Wav.frameStats(buf, len, FrameMs)
           ClipMeasure(m.clip_id, m.sr_hz, m.dur_ms, m.ord, snr, n,
             nFrames, rmsMean, rmsMax, meanSq)

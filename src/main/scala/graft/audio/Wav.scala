@@ -119,6 +119,80 @@ object Wav {
     HeaderBytes + 2 * n
   }
 
+  /** Fused [[synthInto]] + [[validateVsClean]] in ONE pass over the sample
+    * stream: synthesize each PCM sample into the caller-owned buffer and
+    * immediately validate the STORED bytes against the clean sine — whose
+    * value the synth step just computed, so the validation no longer
+    * re-derives it with a second `StrictMath.sin` per sample. Returns
+    * (writtenLen, snrDb, nSamples).
+    *
+    * Bit-identical to the two-call sequence (asserted in PureSpec): the
+    * clean value is the same FP expression both calls evaluate at the same
+    * `i`, the validated sample is read back from the bytes just written
+    * (the encode side of the byte roundtrip stays on the hot path), and
+    * the sigPow/noisePow accumulation order matches validateVsClean's.
+    * Motivation (round-7, guide §1.2 "per-task work"): the synth+validate
+    * map is the dominant stage of the headline pipeline and of the au_*
+    * shared pass, and the per-sample sine is its dominant term — the
+    * two-call shape evaluated it TWICE per sample (once to synthesize,
+    * once to resynthesize the reference inside validate). One fused pass
+    * halves that without touching what either step computes. */
+  def synthValidateInto(out: Array[Byte], seed: Long, noiseSeed: Long,
+      srHz: Int, durMs: Int, snrDb: Double = CleanSnrDb, extraMs: Int = 0,
+      fast: Boolean = FastSynth): (Int, Double, Long) = {
+    val n = (srHz.toLong * (durMs + extraMs) / 1000L).toInt
+    val f = freqOf(seed)
+    val a = noiseAmp(snrDb)
+    writeHeader(out, srHz, n)
+    var state = lcg(noiseSeed ^ 0x5DEECE66DL)
+    var sigPow = 0.0
+    var noisePow = 0.0
+    var i = 0
+    if (fast) {
+      val w = 2.0 * StrictMath.PI * f / srHz
+      val c = 2.0 * StrictMath.cos(w)
+      var sPrev = -StrictMath.sin(w)
+      var sCur = 0.0
+      while (i < n) {
+        val clean = Amplitude * sCur
+        state = lcg(state)
+        val sample = clean + a * unit(state)
+        val s = math.max(-1.0, math.min(1.0, sample))
+        val pcm = StrictMath.round(s * 32767.0).toInt.toShort
+        out(HeaderBytes + 2 * i) = (pcm & 0xFF).toByte
+        out(HeaderBytes + 2 * i + 1) = ((pcm >> 8) & 0xFF).toByte
+        // validate the STORED bytes (same read expression as validateVsClean)
+        val got = (((out(HeaderBytes + 2 * i) & 0xFF)) |
+          (out(HeaderBytes + 2 * i + 1) << 8)).toShort
+        val resid = got / 32767.0 - clean
+        sigPow += clean * clean
+        noisePow += resid * resid
+        val sNext = c * sCur - sPrev
+        sPrev = sCur; sCur = sNext
+        i += 1
+      }
+    } else while (i < n) {
+      val clean = Amplitude * StrictMath.sin(2.0 * StrictMath.PI * f * i / srHz)
+      state = lcg(state)
+      val sample = clean + a * unit(state)
+      val s = math.max(-1.0, math.min(1.0, sample))
+      val pcm = StrictMath.round(s * 32767.0).toInt.toShort
+      out(HeaderBytes + 2 * i) = (pcm & 0xFF).toByte
+      out(HeaderBytes + 2 * i + 1) = ((pcm >> 8) & 0xFF).toByte
+      val got = (((out(HeaderBytes + 2 * i) & 0xFF)) |
+        (out(HeaderBytes + 2 * i + 1) << 8)).toShort
+      val resid = got / 32767.0 - clean
+      sigPow += clean * clean
+      noisePow += resid * resid
+      i += 1
+    }
+    val snr =
+      if (n == 0) Double.NaN // validateVsClean: zero decodable samples
+      else if (noisePow == 0.0) Double.PositiveInfinity
+      else 10.0 * StrictMath.log10(sigPow / noisePow)
+    (HeaderBytes + 2 * n, snr, n.toLong)
+  }
+
   private def writeHeader(b: Array[Byte], srHz: Int, nSamples: Int): Unit = {
     val dataLen = 2 * nSamples
     def le32(off: Int, v: Int): Unit = {

@@ -157,10 +157,36 @@ object Dedup {
     materializeAndRelease(result, sigs)
   }
 
-  /** Character w-gram shingles of a text, FNV-hashed, distinct. */
+  /** Character w-gram shingles of a text, FNV-hashed, distinct. Round-7:
+    * the FNV fold runs over a sliding window of the original string —
+    * value-identical to `fnv1a(text.substring(i, i + w))` (FNV-1a is a
+    * per-char left fold, so hashing the window chars in order IS hashing
+    * the substring) without allocating one String + one char[] per gram;
+    * distinctness keeps first-occurrence order like Array.distinct did.
+    * At 100 TB the shingling map is a dominant stage and per-gram garbage
+    * is what GC-stalls it (same motivation as the synth buffer reuse). */
   def charShingles(text: String, w: Int = 5): Array[Long] =
     if (text.length < w) Array(fnv1a(text))
-    else (0 to text.length - w).map(i => fnv1a(text.substring(i, i + w))).toArray.distinct
+    else {
+      val n = text.length - w + 1
+      val out = new Array[Long](n)
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var k = i
+        val end = i + w
+        while (k < end) {
+          h ^= text.charAt(k).toLong
+          h *= 0x100000001b3L
+          k += 1
+        }
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+      if (m == n) out else java.util.Arrays.copyOf(out, m)
+    }
 
   /** Shared set-Jaccard core over a tokenized frame (doc_id, blockCols...,
     * tok): attribute blocking on `blockCols`, lossless ppjoin prefix
@@ -284,11 +310,46 @@ object Dedup {
     h
   }
 
-  /** 3-word shingles of a text. */
+  /** FNV-1a fold of `s` continued from state `h` — `fnv1a(a + b)` ==
+    * `fnvFold(fnvFold(seed, a), b)` since FNV-1a is a per-char left fold. */
+  @inline private def fnvFold(h0: Long, s: String): Long = {
+    var h = h0
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 3-word shingles of a text. Round-7: the shingle hash folds the three
+    * words and the two joining spaces directly — value-identical to
+    * `fnv1a(ws(i) + " " + ws(i+1) + " " + ws(i+2))` without the two
+    * String concatenations per shingle (per-row garbage in the dominant
+    * signature stage); distinctness keeps first-occurrence order like
+    * Array.distinct did. */
   def shingles(text: String): Array[Long] = {
     val ws = text.trim.split("\\s+")
     if (ws.length < 3) Array(fnv1a(ws.mkString(" ")))
-    else (0 to ws.length - 3).map(i => fnv1a(ws(i) + " " + ws(i + 1) + " " + ws(i + 2))).toArray.distinct
+    else {
+      val n = ws.length - 2
+      val out = new Array[Long](n)
+      val seen = new java.util.HashSet[java.lang.Long](n * 2)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        h = fnvFold(h, ws(i))
+        h = (h ^ ' '.toLong) * 0x100000001b3L
+        h = fnvFold(h, ws(i + 1))
+        h = (h ^ ' '.toLong) * 0x100000001b3L
+        h = fnvFold(h, ws(i + 2))
+        if (seen.add(h)) { out(m) = h; m += 1 }
+        i += 1
+      }
+      if (m == n) out else java.util.Arrays.copyOf(out, m)
+    }
   }
 
   /** splitmix64 finalizer — mixes the per-hash-function constants so the
@@ -311,22 +372,34 @@ object Dedup {
     * recall matches the formula (~0.988 at J=0.709, ~0.9995 at J=0.802,
     * binomial error bars in the spec) — at 100 TB that is the difference
     * between the documented miss bound and a silently 6x higher one. */
+  // The per-function constants are pure functions of the (fixed) hash
+  // index — round-7 hoists them out of [[signature]]'s inner loops (they
+  // were re-derived per DOCUMENT: 128 mix64+mod chains per row).
+  // Same values: a_j in [1, p-1], b_j in [0, p-1], splitmix64-mixed.
+  private val SigA: Array[Long] =
+    Array.tabulate(NumHashes)(j => ((mix64(j) % (Prime - 1)) + (Prime - 1)) % (Prime - 1) + 1)
+  private val SigB: Array[Long] =
+    Array.tabulate(NumHashes)(j => ((mix64(j + 1000003L) % Prime) + Prime) % Prime)
+
   def signature(sh: Array[Long]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
-    var j = 0
-    while (j < NumHashes) {
-      val a = ((mix64(j) % (Prime - 1)) + (Prime - 1)) % (Prime - 1) + 1 // [1, p-1]
-      val bb = ((mix64(j + 1000003L) % Prime) + Prime) % Prime // [0, p-1]
-      var i = 0
-      var mn = Long.MaxValue
-      while (i < sh.length) {
-        val x = ((sh(i) % Prime) + Prime) % Prime
-        val h = (a * x + bb) % Prime
-        if (h < mn) mn = h
-        i += 1
+    // loop order round-7: shingle-major, so the mod-p normalization of each
+    // shingle runs ONCE (it used to run once per (shingle, hash function) —
+    // 2 of the 3 integer divisions in the hot loop were re-normalizing the
+    // same shingle 64 times). The set of (a_j * x_i + b_j) mod p values is
+    // unchanged, and min is order-independent, so signatures are
+    // bit-identical (DedupSpec's recall property and the dd_minhash/
+    // dd_ngram oracles pin this).
+    var i = 0
+    while (i < sh.length) {
+      val x = ((sh(i) % Prime) + Prime) % Prime
+      var j = 0
+      while (j < NumHashes) {
+        val h = (SigA(j) * x + SigB(j)) % Prime
+        if (h < sig(j)) sig(j) = h
+        j += 1
       }
-      sig(j) = mn
-      j += 1
+      i += 1
     }
     sig
   }
@@ -487,8 +560,13 @@ object Dedup {
     * labels if the cap is ever hit — at 50 alternating rounds that would
     * take a component of depth ~2^50. */
   def connectedComponents(pairsIn: DataFrame): DataFrame = {
-    val vertices = pairsIn.select(col("id_a").as("v"))
-      .union(pairsIn.select(col("id_b").as("v")))
+    // the input pair frame feeds TWO branches (vertex set + canonical edge
+    // set); round-7 persists it so an expensive upstream derivation (e.g.
+    // dd_embed_cluster's blocked-cosine pair join) is evaluated once, not
+    // once per branch. Released as soon as both branches are materialized.
+    val pairs = pairsIn.persist()
+    val vertices = pairs.select(col("id_a").as("v"))
+      .union(pairs.select(col("id_b").as("v")))
       .distinct().persist()
     vertices.count()
     // canonical directed edge (larger -> smaller); self-loops dropped.
@@ -500,12 +578,13 @@ object Dedup {
     // truncation). At production scale the same call becomes a reliable
     // checkpoint to the cluster checkpoint dir; blocks here are O(edges)
     // and shrink per round.
-    var edges = pairsIn
+    var edges = pairs
       .select(greatest(col("id_a"), col("id_b")).as("src"),
         least(col("id_a"), col("id_b")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
       .localCheckpoint()
+    pairs.unpersist(false) // both consumers materialized (checkpoint is eager)
     var prevCount = edges.count()
     var converged = false
     var iter = 0
@@ -517,11 +596,16 @@ object Dedup {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       val minsL = und.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
+      // NOT distinct'd (round-7): its two consumers tolerate duplicates —
+      // minsS is a min aggregate, and `next` ends in its own distinct —
+      // so the extra exchange bought nothing. Projection collisions
+      // (different (src,dst) mapping to the same (dst,m)) are rare and
+      // cost only slightly larger intermediates; the per-round shuffle
+      // count drops from 5 to 4.
       val large = und.join(minsL, "src")
         .filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
       // small-star: every vertex u connects itself and all its SMALLER
       // neighbours to the minimum among them
       val minsS = large.groupBy("src").agg(min(col("dst")).as("m"))

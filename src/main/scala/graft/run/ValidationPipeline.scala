@@ -91,8 +91,10 @@ object ValidationPipeline {
           val extra = if (m.ord % 157 == 0) 7 else 0
           val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
           if (need > buf.length) buf = new Array[Byte](need)
-          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
-          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          // fused synth+validate (round-7): one pass, one sine per sample —
+          // bit-identical to synthInto + validateVsClean (PureSpec parity)
+          val (_, snr, n) =
+            Wav.synthValidateInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
           val durBad = n != m.sr_hz.toLong * m.dur_ms / 1000L
           val snrBad = snr.isNaN || snr < AudioQueries.SnrThresholdDb
           val rowBad = m.transcript.isEmpty || m.transcript.contains("") ||
@@ -150,8 +152,9 @@ object ValidationPipeline {
           val extra = if (m.ord % 157 == 0) 7 else 0
           val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
           if (need > buf.length) buf = new Array[Byte](need)
-          val len = Wav.synthInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
-          val (snr, n) = Wav.validateVsClean(buf, len, seed)
+          // fused synth+validate (round-7) — see the verdicts pass above
+          val (_, snr, n) =
+            Wav.synthValidateInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
           (m.clip_id, m.sr_hz, m.dur_ms, m.codec, m.transcript, m.ord, m.bucket, snr, n)
         }
       }

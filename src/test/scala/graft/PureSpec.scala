@@ -86,6 +86,31 @@ class PureSpec extends AnyFunSuite {
       || Wav.validateVsClean(Array[Byte](1, 2, 3), 3, 1)._2 == -1L)
   }
 
+  test("synthValidateInto == synthInto + validateVsClean (fused synth+validate parity)") {
+    // the round-7 fused kernel must be BIT-identical to the two-call
+    // sequence on every output: written bytes, snr, sample count — for
+    // both sine kernels, every sr/dur corner, both injection classes
+    for {
+      fast <- Seq(false, true)
+      sr <- Seq(8000, 22050, 48000)
+      dur <- Seq(20, 105, 499)
+      snr <- Seq(Wav.CleanSnrDb, Wav.CorruptSnrDb)
+      extra <- Seq(0, 7)
+    } {
+      val seed = 11L
+      val ref = new Array[Byte](Wav.synthLen(sr, dur, extra))
+      val refLen = Wav.synthInto(ref, seed, 13L, sr, dur, snr, extra, fast = fast)
+      val (refSnr, refN) = Wav.validateVsClean(ref, refLen, seed, fast = fast)
+      val fused = new Array[Byte](Wav.synthLen(sr, dur, extra))
+      val (len, gotSnr, gotN) =
+        Wav.synthValidateInto(fused, seed, 13L, sr, dur, snr, extra, fast = fast)
+      assert(len == refLen)
+      assert(java.util.Arrays.equals(ref, fused), s"bytes diverge sr=$sr dur=$dur")
+      assert(gotN == refN)
+      assert(gotSnr == refSnr, s"fast=$fast sr=$sr dur=$dur snr=$snr extra=$extra")
+    }
+  }
+
   test("frameStats == frameRms-derived features (fused path parity)") {
     for (sr <- Seq(8000, 44100); dur <- Seq(20, 347)) {
       val b = Wav.synth(3, 9, sr, dur)
