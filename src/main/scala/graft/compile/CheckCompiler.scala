@@ -194,8 +194,18 @@ object CheckCompiler {
   /** Per-bucket pass/fail verdicts. A row is "bad" if any row check fails,
     * its key is duplicated (globally), or its key is missing from the ref
     * table. */
+  /** `dupKeys` (round-7): a caller-precomputed duplicated-key frame per
+    * unique-check column (one column, named like the checked column,
+    * holding exactly the keys a [[Unique]] aggregate over the intended
+    * keyspace would emit). When present for a column, the compiler joins
+    * against IT instead of running its own aggregate — the seam that lets
+    * verdictDrift derive its three different duplicate scopes (v1-internal,
+    * global, newly-flipped) from ONE shared aggregate instead of three.
+    * Callers own the equivalence of the precomputed set; the null-safe
+    * (<=>) join-back semantics are unchanged. */
   def verdicts(df: DataFrame, suite: CheckSuite, scope: Option[Seq[Long]] = None,
-      globalDf: Option[DataFrame] = None): DataFrame = {
+      globalDf: Option[DataFrame] = None,
+      dupKeys: Map[String, DataFrame] = Map.empty): DataFrame = {
     val rowBad: Column =
       suite.rowChecks.map(_.failWhen).reduceOption(_ || _).getOrElse(lit(false))
 
@@ -218,13 +228,15 @@ object CheckCompiler {
       // flag (and stay consistent with the violations path).
       // same globalDf contract as violationsWithBucket: the duplicate
       // aggregate must see the FULL keyspace even when `df` is scoped
-      val dupKeys = globalDf.getOrElse(df).groupBy(col(u.column))
-        .agg(count(lit(1)).as(s"__cnt_${u.column}"))
-        .filter(col(s"__cnt_${u.column}") > 1)
+      val dupKeySrc = dupKeys.get(u.column).getOrElse(
+        globalDf.getOrElse(df).groupBy(col(u.column))
+          .agg(count(lit(1)).as(s"__cnt_${u.column}"))
+          .filter(col(s"__cnt_${u.column}") > 1))
+      val dupKeysDf = dupKeySrc
         .select(col(u.column).as(s"__dup_key_${u.column}"))
         .withColumn(s"__dup_hit_${u.column}", lit(true))
-      cur = cur.join(dupKeys,
-          cur(u.column) <=> dupKeys(s"__dup_key_${u.column}"), "left")
+      cur = cur.join(dupKeysDf,
+          cur(u.column) <=> dupKeysDf(s"__dup_key_${u.column}"), "left")
         .withColumn(s"__dup_${u.column}",
           coalesce(col(s"__dup_hit_${u.column}"), lit(false)))
         .drop(s"__dup_key_${u.column}", s"__dup_hit_${u.column}")
