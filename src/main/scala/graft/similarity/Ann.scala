@@ -22,26 +22,56 @@ object Ann {
   private def emb(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  /** Sequential-order dot product of two double arrays as a Column. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-order dot product of two double arrays. Round-7: a tight
+    * while-loop UDF instead of `aggregate(zip_with(...))` — Spark's
+    * higher-order array functions are CodegenFallback (interpreted, one
+    * closure call + allocation per ELEMENT), which made every 64-dim dot
+    * cost ~128 interpreted lambda invocations in the pair-scoring hot
+    * path. The UDF folds left over the same element order with the same
+    * `acc + x(i)*y(i)` double arithmetic, so results are bit-identical
+    * (the ann and dd_embed oracles hash-match on exactly this). */
+  private val dotUdf = udf((a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  })
+
+  private def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** Cosine from a precomputed per-vector norm pair (round-7): the
+    * per-PAIR `cosine` recomputes sqrt(dot(a,a)) and sqrt(dot(b,b)) for
+    * every candidate pair — O(pairs) redundant dot products, since a
+    * vector's norm never changes. Callers project `nrm = sqrt(dot(v,v))`
+    * once per vector and pass it through; the division tree
+    * dot/(nrm_a*nrm_b) is the same FP expression as `cosine`'s, on the
+    * same double values, so scores stay bit-identical. */
+  private def cosinePre(ab: Column, nrmA: Column, nrmB: Column): Column =
+    ab / (nrmA * nrmB)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
   /** Near-duplicate pairs with cosine >= threshold; probes are the
     * vec_id % 20 == 0 subset, candidates blocked on equal `label`. */
   def cosinePairs(spark: SparkSession, sfDir: String, threshold: Double = 0.4): DataFrame = {
     val e = emb(spark, sfDir).select(
-      col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+        col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))) // once per vector, not per pair
     val probes = e.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
-    val cands = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+      .select(col("vec_id").as("id_a"), col("label"), col("v").as("va"),
+        col("nrm").as("nrm_a"))
+    val cands = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"),
+      col("nrm").as("nrm_b"))
     probes.join(cands, Seq("label"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        cosinePre(dot(col("va"), col("vb")), col("nrm_a"), col("nrm_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
@@ -52,11 +82,13 @@ object Ann {
     * the per-query top-k aggregate. */
   def bruteTopK(spark: SparkSession, sfDir: String, nQueries: Int = 16, k: Int = 5): DataFrame = {
     val e = emb(spark, sfDir).select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v"))) // once per vector, not per pair
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        cosinePre(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -158,12 +190,15 @@ object Ann {
       }.sortBy(-_._2).take(nProbe).map(_._1)
     })
     val assigned = e.withColumn("cell", cellOf(col("v")))
+      .withColumn("nrm", norm(col("v"))) // once per vector, not per pair
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        norm(col("v")).as("qnrm"),
         explode(probesOf(col("v"))).as("cell"))
     val scored = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("cos",
+        cosinePre(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -216,22 +251,25 @@ object Ann {
     val e = emb(spark, sfDir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("sig", sigUdf(col("v")))
-    val banded = e.select(col("vec_id"), col("v"), col("sig"),
+      .withColumn("nrm", norm(col("v"))) // once per vector, not per pair
+    val banded = e.select(col("vec_id"), col("v"), col("nrm"), col("sig"),
       explode(array(bandCols: _*)).as("b"))
-      .select(col("vec_id"), col("v"), col("b.band"), col("b.bb"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("b.band"), col("b.bb"))
     // query side probes its own band bucket + every Hamming-1 flip
     val flips = (0 until bitsPerBand).map(f => 1 << f)
     val q = banded.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"),
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("band"),
         explode(array((lit(0) +: flips.map(lit)): _*)).as("flip"),
         col("bb").as("bb0"))
-      .select(col("q_id"), col("qv"), col("band"),
+      .select(col("q_id"), col("qv"), col("qnrm"), col("band"),
         col("bb0").bitwiseXOR(col("flip")).as("bb"))
     val cand = banded.join(broadcast(q), Seq("band", "bb"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select("q_id", "qv", "vec_id", "v")
+      .select("q_id", "qv", "qnrm", "vec_id", "v", "nrm")
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.withColumn("cos", cosine(col("qv"), col("v")))
+    val scored = cand.withColumn("cos",
+      cosinePre(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
