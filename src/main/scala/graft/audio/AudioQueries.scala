@@ -85,11 +85,13 @@ object AudioQueries {
           val extra = if (m.ord % 157 == 0) 7 else 0
           val need = Wav.synthLen(m.sr_hz, m.dur_ms, extra)
           if (need > buf.length) buf = new Array[Byte](need)
-          // fused synth+validate (round-7): one pass, one sine per sample —
-          // bit-identical to synthInto + validateVsClean (PureSpec parity)
-          val (len, snr, n) =
-            Wav.synthValidateInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb, extra)
-          val (nFrames, rmsMean, rmsMax, meanSq) = Wav.frameStats(buf, len, FrameMs)
+          // fully fused synth+validate+frame-features (round-7): one pass,
+          // one sine per sample, no third sweep over the bytes —
+          // bit-identical to synthInto + validateVsClean + frameStats
+          // (PureSpec parity)
+          val (_, snr, n, nFrames, rmsMean, rmsMax, meanSq) =
+            Wav.synthMeasureInto(buf, seed, m.ord, m.sr_hz, m.dur_ms, snrDb,
+              extra, FrameMs)
           ClipMeasure(m.clip_id, m.sr_hz, m.dur_ms, m.ord, snr, n,
             nFrames, rmsMean, rmsMax, meanSq)
         }

@@ -193,6 +193,88 @@ object Wav {
     (HeaderBytes + 2 * n, snr, n.toLong)
   }
 
+  /** [[synthValidateInto]] + [[frameStats]] fused into the same single
+    * pass: the 20 ms-frame RMS/power accumulation reads the just-written
+    * sample instead of a third sweep over the byte buffer. Returns
+    * (writtenLen, snrDb, nSamples, nFrames, rmsMean, rmsMax, meanSq) —
+    * each component bit-identical to the corresponding unfused call
+    * (PureSpec parity): the frame accumulator sees the same
+    * `sample/32767.0` doubles in the same order, frames truncate the tail
+    * exactly like frameStats (only the first nFrames*frameLen samples
+    * accumulate), and the snr/byte outputs are [[synthValidateInto]]'s.
+    * Only the au_* shared pass needs the frame features, so this stays a
+    * separate entry point and the headline pipeline keeps the two-output
+    * kernel. */
+  def synthMeasureInto(out: Array[Byte], seed: Long, noiseSeed: Long,
+      srHz: Int, durMs: Int, snrDb: Double = CleanSnrDb, extraMs: Int = 0,
+      frameMs: Int = 20, fast: Boolean = FastSynth)
+      : (Int, Double, Long, Long, Double, Double, Double) = {
+    val n = (srHz.toLong * (durMs + extraMs) / 1000L).toInt
+    val f = freqOf(seed)
+    val a = noiseAmp(snrDb)
+    writeHeader(out, srHz, n)
+    var state = lcg(noiseSeed ^ 0x5DEECE66DL)
+    var sigPow = 0.0
+    var noisePow = 0.0
+    // frame accumulators (frameStats layout): frames truncate — samples at
+    // or past nFrames*frameLen contribute to snr but not to the features
+    val frameLen = math.max(1, srHz * frameMs / 1000)
+    val nFrames = n / frameLen
+    val covered = nFrames * frameLen
+    var rmsSum = 0.0
+    var rmsMax = 0.0
+    var sqSum = 0.0
+    var frameAcc = 0.0
+    var inFrame = 0
+    var i = 0
+    val w = 2.0 * StrictMath.PI * f / srHz
+    val c = if (fast) 2.0 * StrictMath.cos(w) else 0.0
+    var sPrev = if (fast) -StrictMath.sin(w) else 0.0
+    var sCur = 0.0
+    while (i < n) {
+      val clean =
+        if (fast) Amplitude * sCur
+        else Amplitude * StrictMath.sin(2.0 * StrictMath.PI * f * i / srHz)
+      state = lcg(state)
+      val sample = clean + a * unit(state)
+      val s = math.max(-1.0, math.min(1.0, sample))
+      val pcm = StrictMath.round(s * 32767.0).toInt.toShort
+      out(HeaderBytes + 2 * i) = (pcm & 0xFF).toByte
+      out(HeaderBytes + 2 * i + 1) = ((pcm >> 8) & 0xFF).toByte
+      val got = (((out(HeaderBytes + 2 * i) & 0xFF)) |
+        (out(HeaderBytes + 2 * i + 1) << 8)).toShort
+      val resid = got / 32767.0 - clean
+      sigPow += clean * clean
+      noisePow += resid * resid
+      if (i < covered) {
+        val v = got / 32767.0
+        frameAcc += v * v
+        inFrame += 1
+        if (inFrame == frameLen) {
+          val rms = StrictMath.sqrt(frameAcc / frameLen)
+          rmsSum += rms
+          if (rms > rmsMax) rmsMax = rms
+          sqSum += frameAcc
+          frameAcc = 0.0
+          inFrame = 0
+        }
+      }
+      if (fast) {
+        val sNext = c * sCur - sPrev
+        sPrev = sCur; sCur = sNext
+      }
+      i += 1
+    }
+    val snr =
+      if (n == 0) Double.NaN
+      else if (noisePow == 0.0) Double.PositiveInfinity
+      else 10.0 * StrictMath.log10(sigPow / noisePow)
+    val (rmsMean, meanSq) =
+      if (nFrames == 0) (0.0, 0.0)
+      else (rmsSum / nFrames, sqSum / (nFrames.toLong * frameLen))
+    (HeaderBytes + 2 * n, snr, n.toLong, nFrames.toLong, rmsMean, rmsMax, meanSq)
+  }
+
   private def writeHeader(b: Array[Byte], srHz: Int, nSamples: Int): Unit = {
     val dataLen = 2 * nSamples
     def le32(off: Int, v: Int): Unit = {

@@ -20,12 +20,18 @@ object ValidationPipeline {
     * bucket count so bucketing, duplicate collisions and seed recovery all
     * survive the shift). Same job shape at k times the rows — the regime the
     * 10^12-row target actually runs in, where fixed stage overhead is noise. */
-  def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame =
+  def replicatedBase(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     // repartition the BASE (1/k of the rows) before the broadcast fan-out:
     // the replicated rows inherit the partitioning, so the synth stage gets
-    // its fixed task granularity while the exchange carries only the
-    // unreplicated metadata
-    replicate(spark, ClipsTable.base(spark, sfDir).repartition(SynthPartitions), k)
+    // its task granularity while the exchange carries only the
+    // unreplicated metadata. The partition count is derived from the input
+    // row count (clips = orders rows 1:1; the count() is a metadata-cheap
+    // parquet job) times the replication factor — see [[synthPartitions]].
+    val rows =
+      spark.read.parquet(s"$sfDir/orders.parquet").count() * math.max(1, k)
+    replicate(spark,
+      ClipsTable.base(spark, sfDir).repartition(synthPartitions(rows)), k)
+  }
 
   /** [[replicatedBase]] minus the synth-stage repartition — the lineage for
     * cheap metadata-only side branches (the anomaly aggregate), which would
@@ -64,12 +70,32 @@ object ValidationPipeline {
     * carry bits, never audio. (The generic CheckCompiler path keeps the
     * anti-join for arbitrary ref tables; equivalence is asserted in
     * EngineSpec.) */
-  /** Task granularity for the CPU-heavy synth+validate fan-out: fixed (not
-    * a multiple of the core count) so both parallelism levels of the
-    * scaling bench run the exact same partitioning and per-task work.
-    * Env-overridable for granularity experiments. */
-  val SynthPartitions: Int =
-    sys.env.getOrElse("SPARK_GRAFT_SYNTH_PARTITIONS", "512").toInt
+  /** Task granularity for the CPU-heavy synth+validate fan-out. Round-7:
+    * SCALE-ADAPTIVE (guide §2 — "make partitioning scale-adaptive rather
+    * than a constant tuned for either local mode or the cluster"): the
+    * previous fixed 512 was tuned for the scaling bench's replicate=6
+    * (~900k clips → ~1.8k rows/task) and over-partitioned every smaller
+    * input — the sweep's replicate=1 ran 293-row tasks whose launch
+    * overhead was a measurable slice of vc_full_verdicts' wall, and a
+    * production 10^12-row table would be catastrophically UNDER-split.
+    * The granularity target stays the ~1.8k clips/task the scaling record
+    * was measured at, floored (keep every core busy at warmup scale) and
+    * capped (bound scheduler pressure per job; a 10^12-row input arrives
+    * pre-split by its file layout and is expected to override). The count
+    * is still a pure function of the INPUT, never of the core count, so
+    * both parallelism levels of the scaling bench run the exact same
+    * partitioning and per-task work — the comparability argument for the
+    * old fixed value carries over unchanged. The env override pins an
+    * exact count for granularity experiments (prior behavior: set it
+    * to 512). */
+  val RowsPerSynthTask: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SYNTH_ROWS_PER_TASK", "1800").toLong
+  private val SynthPartitionsOverride: Option[Int] =
+    sys.env.get("SPARK_GRAFT_SYNTH_PARTITIONS").map(_.toInt)
+  def synthPartitions(rows: Long): Int =
+    SynthPartitionsOverride.getOrElse(
+      math.max(64, math.min(4096,
+        math.ceil(rows.toDouble / RowsPerSynthTask).toInt)))
 
   def verdicts(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
     import spark.implicits._

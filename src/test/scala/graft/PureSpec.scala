@@ -111,6 +111,30 @@ class PureSpec extends AnyFunSuite {
     }
   }
 
+  test("synthMeasureInto == synthInto + validateVsClean + frameStats (fully fused parity)") {
+    for {
+      fast <- Seq(false, true)
+      sr <- Seq(8000, 22050, 48000)
+      dur <- Seq(20, 105, 499)
+      snr <- Seq(Wav.CleanSnrDb, Wav.CorruptSnrDb)
+      extra <- Seq(0, 7)
+    } {
+      val seed = 11L
+      val ref = new Array[Byte](Wav.synthLen(sr, dur, extra))
+      val refLen = Wav.synthInto(ref, seed, 13L, sr, dur, snr, extra, fast = fast)
+      val (refSnr, refN) = Wav.validateVsClean(ref, refLen, seed, fast = fast)
+      val (refF, refMean, refMax, refSq) = Wav.frameStats(ref, refLen, 20)
+      val fused = new Array[Byte](Wav.synthLen(sr, dur, extra))
+      val (len, gotSnr, gotN, gotF, gotMean, gotMax, gotSq) =
+        Wav.synthMeasureInto(fused, seed, 13L, sr, dur, snr, extra, 20, fast = fast)
+      assert(len == refLen && java.util.Arrays.equals(ref, fused))
+      assert(gotSnr == refSnr && gotN == refN)
+      assert(gotF == refF, s"fast=$fast sr=$sr dur=$dur")
+      assert(gotMean == refMean && gotMax == refMax && gotSq == refSq,
+        s"fast=$fast sr=$sr dur=$dur snr=$snr extra=$extra")
+    }
+  }
+
   test("frameStats == frameRms-derived features (fused path parity)") {
     for (sr <- Seq(8000, 44100); dur <- Seq(20, 347)) {
       val b = Wav.synth(3, 9, sr, dur)
