@@ -591,9 +591,16 @@ object Dedup {
     val MaxIters = 50
     while (!converged && iter < MaxIters) {
       // large-star: every vertex u connects each strictly LARGER neighbour
-      // to the minimum of u's closed neighbourhood
+      // to the minimum of u's closed neighbourhood.
+      // One explicit repartition on src serves BOTH consumers (guide §2.4):
+      // the min-aggregate and the annotate join each require hash(src), so
+      // without it the undirected frame — the round's largest — was
+      // exchanged twice per round (once into the partial agg, once for the
+      // join probe side); established once, both reuse it and the
+      // per-round unique-exchange count drops 4 → 3.
       val und = edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .repartition(col("src"))
       val minsL = und.groupBy("src").agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
       // NOT distinct'd (round-7): its two consumers tolerate duplicates —
