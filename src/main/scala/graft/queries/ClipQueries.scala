@@ -423,8 +423,9 @@ object ClipQueries {
     // aggregate emitted (IncrementalSpec pins the decomposition against the
     // direct recompute; the driver oracle replays the direct formulation).
     // The small shared derivations (refs, the filtered group table) are
-    // persisted for the three verdict computations that consume them and
-    // released once the (32-row) result is materialized. v1/delta are
+    // persisted for the three verdict computations that consume them
+    // (released by the session owner's clearCache between queries — see
+    // the note at the end). v1/delta are
     // deliberately NOT persisted: each consumer's parquet scan is
     // column-pruned to exactly what it needs (the narrow key scan for the
     // group aggregate, the wide checked columns for the verdict passes),
@@ -470,7 +471,12 @@ object ClipQueries {
       v1.join(flippedGroups,
         v1("clip_id") <=> flippedGroups("clip_id"), "left_semi"), noUnique)
       .select(col("bucket"), (col("n_rows") - col("n_bad")).as("n_retro"))
-    val out = before
+    // the two persisted shared frames (refs, filtered groups) are
+    // keyspace-bounded and released by the session owner's clearCache
+    // between queries (the Bench/Verify cache-lifecycle contract) — an
+    // eager materialize-then-unpersist here would cost two extra actions
+    // per invocation just to drop what the owner drops anyway
+    before
       .join(deltaBad, Seq("bucket"), "full_outer")
       .join(retro, Seq("bucket"), "full_outer")
       .select(col("bucket"),
@@ -478,10 +484,6 @@ object ClipQueries {
         (coalesce(col("n_bad_before"), lit(0L)) + coalesce(col("n_bad_delta"), lit(0L))
           + coalesce(col("n_retro"), lit(0L))).as("n_bad_after"))
       .withColumn("regressed", col("n_bad_after") > col("n_bad_before"))
-      .persist()
-    out.count() // materialize the (O(buckets)) result, then drop the inputs
-    Seq(refsCached, grouped).foreach(_.unpersist(false))
-    out
   }
 
   private val C = ClipsTable.cte
