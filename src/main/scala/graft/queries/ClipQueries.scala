@@ -422,18 +422,21 @@ object ClipQueries {
     // Each filtered set is EXACTLY what the corresponding per-scope
     // aggregate emitted (IncrementalSpec pins the decomposition against the
     // direct recompute; the driver oracle replays the direct formulation).
-    // The small shared derivations (refs, the filtered group table) are
-    // persisted for the three verdict computations that consume them
-    // (released by the session owner's clearCache between queries — see
-    // the note at the end). v1/delta are
-    // deliberately NOT persisted: each consumer's parquet scan is
-    // column-pruned to exactly what it needs (the narrow key scan for the
-    // group aggregate, the wide checked columns for the verdict passes),
-    // and a full-width cache would defeat that pruning — at 10^12 rows the
-    // pruned columnar re-read is the cheap option by construction.
-    val s0 = suite(spark, sfDir)
-    val refsCached = s0.refs("refs").persist()
-    val s = s0.copy(refs = Map("refs" -> refsCached))
+    // ONLY the filtered group table is persisted for the three verdict
+    // computations that consume it (released by the session owner's
+    // clearCache between queries). Its logical plan is unique to this
+    // query, which matters: Spark's CacheManager substitutes a cached
+    // relation into ANY later query whose canonicalized plan matches, so
+    // persisting a frame other queries also build (refs, the clips base)
+    // would silently rewrite THEIR plans for the rest of the session —
+    // measured as EngineSpec's scan-count assertions breaking when a
+    // suite-shared session ran verdictDrift first. v1/delta are likewise
+    // NOT persisted: each consumer's parquet scan is column-pruned to
+    // exactly what it needs (the narrow key scan for the group aggregate,
+    // the wide checked columns for the verdict passes), and a full-width
+    // cache would defeat that pruning — at 10^12 rows the pruned columnar
+    // re-read is the cheap option by construction.
+    val s = suite(spark, sfDir)
     val v1 = TableFormat.read(spark, table, Some(1))
       .withColumn("bucket", col("bucket").cast("long"))
     val delta = TableFormat.readIncremental(spark, table, 1, 2)
@@ -471,11 +474,11 @@ object ClipQueries {
       v1.join(flippedGroups,
         v1("clip_id") <=> flippedGroups("clip_id"), "left_semi"), noUnique)
       .select(col("bucket"), (col("n_rows") - col("n_bad")).as("n_retro"))
-    // the two persisted shared frames (refs, filtered groups) are
-    // keyspace-bounded and released by the session owner's clearCache
-    // between queries (the Bench/Verify cache-lifecycle contract) — an
-    // eager materialize-then-unpersist here would cost two extra actions
-    // per invocation just to drop what the owner drops anyway
+    // the persisted group frame is keyspace-bounded and released by the
+    // session owner's clearCache between queries (the Bench/Verify
+    // cache-lifecycle contract) — an eager materialize-then-unpersist here
+    // would cost extra actions per invocation just to drop what the owner
+    // drops anyway
     before
       .join(deltaBad, Seq("bucket"), "full_outer")
       .join(retro, Seq("bucket"), "full_outer")
