@@ -77,34 +77,9 @@ object TableFormat {
     writeSnapshot(df, table, partitionCol, carryForward = true, statsCols,
       overwrite = true)
 
-  private def writeSnapshot(dfIn: DataFrame, table: String, partitionCol: String,
+  private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
       carryForward: Boolean, statsCols: Seq[String] = Nil,
       overwrite: Boolean = false): Int = {
-    // ONE evaluation of the batch for BOTH the manifest aggregation and the
-    // data write (round-7, per the round-6 advice): the manifest's row
-    // counts, min/max stats, and overwrite exclusion values were previously
-    // collected from one evaluation of `df` while the parquet write
-    // re-evaluated it — for a non-deterministic batch (sample/rand/source
-    // mutated between actions) the recorded bounds could fail to cover the
-    // written rows, and since readWhere PRUNES on them, pruning silently
-    // became correctness-bearing. Persisting pins one row set for both
-    // observers (the cheaper of the two fixes the advice names; blocks
-    // spill to disk rather than recompute, and a lost block in a
-    // multi-node deployment recomputes the SAME rows only for a
-    // deterministic plan — a production seam would derive stats from the
-    // written files, as Iceberg does). Side benefit at any scale: the
-    // batch derivation (e.g. the keep table's anti-join) runs once, not
-    // twice. Already-persisted inputs are left untouched (persist() would
-    // throw on a storage-level change, and the caller owns that cache).
-    val ownCache = dfIn.storageLevel == org.apache.spark.storage.StorageLevel.NONE
-    val df = if (ownCache) dfIn.persist() else dfIn
-    try writeSnapshotInner(df, table, partitionCol, carryForward, statsCols, overwrite)
-    finally { if (ownCache) df.unpersist(false) }
-  }
-
-  private def writeSnapshotInner(df: DataFrame, table: String, partitionCol: String,
-      carryForward: Boolean, statsCols: Seq[String],
-      overwrite: Boolean): Int = {
     val prev = currentVersion(table)
     val prevDirs =
       if (carryForward) prev.map(v => dataDirs(table, v)).getOrElse(Seq.empty)
@@ -150,20 +125,61 @@ object TableFormat {
     }
     val version = prev.getOrElse(0) + 1
     val dataPath = s"data/v$version"
-    // one aggregation pass yields the manifest's row counts AND the
-    // per-partition min/max column stats (Iceberg manifest-entry
-    // lower_bounds/upper_bounds analogue) — stats cost nothing extra
-    // beyond widening the agg the counts already pay for. Computed BEFORE
-    // the data write so an EMPTY batch can skip the write and keep its
-    // fileless dir out of the manifest (a data dir with no parquet files
-    // fails schema inference and would poison every subsequent read of the
-    // table; an empty append — a commit cycle that happened to add no rows
-    // — must still produce a valid, readable snapshot).
+
+    // WRITE FIRST, then derive the manifest's row counts and per-partition
+    // min/max column stats (Iceberg manifest-entry lower_bounds/
+    // upper_bounds analogue) from the FRESHLY WRITTEN FILES — the Iceberg
+    // discipline, and the stronger of the two fixes the round-6 advice
+    // named for the one-evaluation problem: the batch plan is evaluated
+    // exactly once (the write), and the recorded bounds describe exactly
+    // the rows on disk even for a non-deterministic batch — readWhere's
+    // pruning can never diverge from the data it prunes. (Round-7 first
+    // tried persist(): correct, but the cache materialization measurably
+    // cost more than the narrow read-back on every staged build.) The
+    // read-back is column-pruned to the partition column + statsCols.
+    //
+    // Repartition BY THE PARTITION COLUMN before the dynamic-partition
+    // write: without it every upstream task owns rows of every partition
+    // value, so a P-partition table written from T tasks lands P×T small
+    // files (measured: the 32-bucket clips snapshot at 32 shuffle
+    // partitions wrote ~1,024 files per version and every subsequent
+    // snapshot READ paid the open/footer cost ~32×). After the shuffle
+    // each task owns whole partition values → ~1 file per dir, and the
+    // same shape holds at 10^12 rows (file count scales with data volume
+    // via maxRecordsPerFile, not with writer parallelism).
+    df.repartition(col(partitionCol))
+      .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
+    val dirPath = Paths.get(table, dataPath)
+    // an empty batch writes only _SUCCESS (no partition subdirs): its
+    // fileless dir must not reach the manifest (it would fail schema
+    // inference and poison every read), so drop it and record no rows
+    val hasData = scala.util.Using.resource(Files.list(dirPath)) { s =>
+      s.iterator().asScala.exists(Files.isDirectory(_))
+    }
+    if (!hasData) Scratch.deleteRecursively(dirPath.toString)
     val statAggs = statsCols.flatMap(c =>
       Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val countRows = df.groupBy(col(partitionCol))
-      .agg(count(lit(1)).as("n"), statAggs: _*)
-      .collect()
+    val countRows =
+      if (!hasData) Array.empty[org.apache.spark.sql.Row]
+      else {
+        // Partition-type inference is disabled for the read-back: inferred
+        // types can be lossy for string partition values that LOOK numeric
+        // ("00123" would come back as 123), while the raw dir-name string
+        // cast to the batch's own partition type is exact for every value
+        // that round-tripped through the write (null rides the
+        // __HIVE_DEFAULT_PARTITION__ mapping either way).
+        val spark = df.sparkSession
+        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        val inferPrev = spark.conf.get(inferKey)
+        spark.conf.set(inferKey, "false")
+        try spark.read.parquet(dirPath.toString)
+          .withColumn(partitionCol,
+            col(partitionCol).cast(df.schema(partitionCol).dataType))
+          .groupBy(col(partitionCol))
+          .agg(count(lit(1)).as("n"), statAggs: _*)
+          .collect()
+        finally spark.conf.set(inferKey, inferPrev)
+      }
     // An empty FULL-REPLACE is rejected loudly (round-7, per the round-6
     // advice): it used to commit a manifest with "data_dirs": [] and
     // atomically advance the version hint, after which every
@@ -175,19 +191,6 @@ object TableFormat {
       s"refusing an empty full-replace commit at $table: it would produce a " +
         "current snapshot with no data dirs, unreadable until the next " +
         "commit (append an empty batch instead if this cycle added no rows)")
-
-    // Repartition BY THE PARTITION COLUMN before the dynamic-partition
-    // write: without it every upstream task owns rows of every partition
-    // value, so a P-partition table written from T tasks lands P×T small
-    // files (measured: the 32-bucket clips snapshot at 32 shuffle
-    // partitions wrote ~1,024 files per version and every subsequent
-    // snapshot READ paid the open/footer cost ~32×). After the shuffle
-    // each task owns whole partition values → ~1 file per dir, and the
-    // same shape holds at 10^12 rows (file count scales with data volume
-    // via maxRecordsPerFile, not with writer parallelism).
-    if (countRows.nonEmpty)
-      df.repartition(col(partitionCol))
-        .write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/$dataPath")
     val counts = countRows.map { r =>
         val stats =
           if (statsCols.isEmpty) ""
