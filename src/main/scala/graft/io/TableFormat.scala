@@ -77,6 +77,160 @@ object TableFormat {
     writeSnapshot(df, table, partitionCol, carryForward = true, statsCols,
       overwrite = true)
 
+  /** One written partition's manifest entry: decoded partition value, row
+    * count, and per-statsCol (min, max) bounds (None/None = all-null). */
+  private final case class PartStats(pv: Any, rows: Long,
+      stats: Map[String, (Option[Any], Option[Any])])
+
+  /** Decode a partition-dir-name value (the text after "pc=") to the
+    * batch's own partition type — EXACT, no inference: a numeric-looking
+    * STRING partition value ("00123") must round-trip verbatim, which
+    * Spark's partition-type inference would destroy. */
+  private def decodePartValue(raw: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    val unescaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+    if (unescaped == "__HIVE_DEFAULT_PARTITION__") null
+    else dt match {
+      case LongType => unescaped.toLong
+      case IntegerType => unescaped.toInt
+      case ShortType => unescaped.toShort
+      case ByteType => unescaped.toByte
+      case DoubleType => unescaped.toDouble
+      case FloatType => unescaped.toFloat
+      case BooleanType => unescaped.toBoolean
+      case _: DecimalType => BigDecimal(unescaped)
+      case _ => unescaped // strings & exotic types: the dir name IS the value
+    }
+  }
+
+  /** (min, max) of one parquet column-chunk statistics object as JVM
+    * values of the column's Spark type; None = type this reader does not
+    * handle (caller falls back to the scan path). */
+  private def chunkStatValues(st: org.apache.parquet.column.statistics.Statistics[_],
+      dt: org.apache.spark.sql.types.DataType): Option[(Any, Any)] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DoubleType | FloatType =>
+        Some((st.genericGetMin, st.genericGetMax)) // boxed numerics — cmp() compares them
+      case StringType =>
+        Some((
+          st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8,
+          st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case _ => None
+    }
+  }
+
+  /** Manifest stats straight from the written parquet FOOTERS — the
+    * Iceberg mechanism: per-partition row counts and min/max bounds read
+    * from file metadata ON THE DRIVER, no Spark job, no data IO (round-7:
+    * the commit previously paid a full extra evaluation of the batch, and
+    * then a scan read-back, for these numbers). Returns None when any
+    * required statistic is unavailable, unhandled, or uncomparable — the
+    * caller then falls back to [[scanPartStats]]; correctness never
+    * depends on footer stats being readable. Binary (string) footer
+    * bounds use parquet's unsigned-lexicographic ordering, which is
+    * exactly Spark's UTF8 binary collation and [[cmp]]'s comparison — the
+    * same order readWhere prunes with. */
+  private def footerPartStats(dirPath: Path, pcol: String,
+      pdt: org.apache.spark.sql.types.DataType, statsCols: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Option[Seq[PartStats]] = {
+    final case class Unavailable() extends RuntimeException
+    val conf = new org.apache.hadoop.conf.Configuration()
+    try {
+      val subdirs = scala.util.Using.resource(Files.list(dirPath)) { s =>
+        s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$pcol=")).toSeq
+      }
+      if (subdirs.isEmpty) return None
+      // footers are read concurrently (Iceberg reads manifests the same
+      // way): one ~ms metadata read per file is latency-bound, and a
+      // 32-partition commit pays 32 of them
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Some(Await.result(Future.traverse(subdirs) { sub => Future {
+        val pv = decodePartValue(sub.getFileName.toString.stripPrefix(s"$pcol="), pdt)
+        var rows = 0L
+        val mins = scala.collection.mutable.Map.empty[String, Any]
+        val maxs = scala.collection.mutable.Map.empty[String, Any]
+        val files = scala.util.Using.resource(Files.list(sub)) { s =>
+          s.iterator().asScala
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .toSeq
+        }
+        files.foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.toUri), conf)
+          scala.util.Using.resource(
+              org.apache.parquet.hadoop.ParquetFileReader.open(in)) { reader =>
+            reader.getFooter.getBlocks.asScala.foreach { block =>
+              rows += block.getRowCount
+              statsCols.foreach { c =>
+                val chunk = block.getColumns.asScala
+                  .find(_.getPath.toDotString == c)
+                  .getOrElse(throw Unavailable())
+                val st = chunk.getStatistics
+                if (st == null) throw Unavailable()
+                if (st.hasNonNullValue) {
+                  val (mn, mx) = chunkStatValues(st, schema(c).dataType)
+                    .getOrElse(throw Unavailable())
+                  mins.get(c) match {
+                    case Some(cur) =>
+                      if (cmp(mn, cur).getOrElse(throw Unavailable()) < 0) mins(c) = mn
+                    case None => mins(c) = mn
+                  }
+                  maxs.get(c) match {
+                    case Some(cur) =>
+                      if (cmp(mx, cur).getOrElse(throw Unavailable()) > 0) maxs(c) = mx
+                    case None => maxs(c) = mx
+                  }
+                } else if (!(st.isNumNullsSet && st.getNumNulls == block.getRowCount)) {
+                  // not provably an all-null chunk: the stats were dropped
+                  // or unreliable — recording (None, None) here would let
+                  // readWhere WRONGLY prune the partition as all-null
+                  throw Unavailable()
+                }
+              }
+            }
+          }
+        }
+        PartStats(pv, rows,
+          statsCols.map(c => c -> ((mins.get(c), maxs.get(c)))).toMap)
+      }}, scala.concurrent.duration.Duration.Inf))
+    } catch {
+      case _: Unavailable => None
+      case scala.util.control.NonFatal(_) => None // unreadable footer → scan path
+    }
+  }
+
+  /** Scan-based fallback for [[footerPartStats]]: one column-pruned Spark
+    * aggregation over the freshly written dir. Partition-type inference is
+    * disabled (lossy for numeric-looking string partition values); the
+    * raw dir-name string is cast to the batch's own partition type. */
+  private def scanPartStats(df: DataFrame, dirPath: Path, pcol: String,
+      statsCols: Seq[String]): Seq[PartStats] = {
+    val spark = df.sparkSession
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    val statAggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    try spark.read.parquet(dirPath.toString)
+      .withColumn(pcol, col(pcol).cast(df.schema(pcol).dataType))
+      .groupBy(col(pcol))
+      .agg(count(lit(1)).as("n"), statAggs: _*)
+      .collect()
+      .toSeq.map { r =>
+        PartStats(r.get(0), r.getLong(1),
+          statsCols.zipWithIndex.map { case (c, i) =>
+            c -> ((Option(r.get(2 + 2 * i)), Option(r.get(3 + 2 * i))))
+          }.toMap)
+      }
+    finally spark.conf.set(inferKey, inferPrev)
+  }
+
   private def writeSnapshot(df: DataFrame, table: String, partitionCol: String,
       carryForward: Boolean, statsCols: Seq[String] = Nil,
       overwrite: Boolean = false): Int = {
@@ -135,8 +289,10 @@ object TableFormat {
     // the rows on disk even for a non-deterministic batch — readWhere's
     // pruning can never diverge from the data it prunes. (Round-7 first
     // tried persist(): correct, but the cache materialization measurably
-    // cost more than the narrow read-back on every staged build.) The
-    // read-back is column-pruned to the partition column + statsCols.
+    // cost more than re-deriving the batch.) Counts and bounds come from
+    // the parquet FOOTERS on the driver ([[footerPartStats]] — no Spark
+    // job at all), with a column-pruned scan aggregation as the fallback
+    // whenever a footer statistic is unavailable.
     //
     // Repartition BY THE PARTITION COLUMN before the dynamic-partition
     // write: without it every upstream task owns rows of every partition
@@ -157,29 +313,11 @@ object TableFormat {
       s.iterator().asScala.exists(Files.isDirectory(_))
     }
     if (!hasData) Scratch.deleteRecursively(dirPath.toString)
-    val statAggs = statsCols.flatMap(c =>
-      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
-    val countRows =
-      if (!hasData) Array.empty[org.apache.spark.sql.Row]
-      else {
-        // Partition-type inference is disabled for the read-back: inferred
-        // types can be lossy for string partition values that LOOK numeric
-        // ("00123" would come back as 123), while the raw dir-name string
-        // cast to the batch's own partition type is exact for every value
-        // that round-tripped through the write (null rides the
-        // __HIVE_DEFAULT_PARTITION__ mapping either way).
-        val spark = df.sparkSession
-        val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-        val inferPrev = spark.conf.get(inferKey)
-        spark.conf.set(inferKey, "false")
-        try spark.read.parquet(dirPath.toString)
-          .withColumn(partitionCol,
-            col(partitionCol).cast(df.schema(partitionCol).dataType))
-          .groupBy(col(partitionCol))
-          .agg(count(lit(1)).as("n"), statAggs: _*)
-          .collect()
-        finally spark.conf.set(inferKey, inferPrev)
-      }
+    val partStats: Seq[PartStats] =
+      if (!hasData) Seq.empty
+      else footerPartStats(dirPath, partitionCol,
+          df.schema(partitionCol).dataType, statsCols, df.schema)
+        .getOrElse(scanPartStats(df, dirPath, partitionCol, statsCols))
     // An empty FULL-REPLACE is rejected loudly (round-7, per the round-6
     // advice): it used to commit a manifest with "data_dirs": [] and
     // atomically advance the version hint, after which every
@@ -187,19 +325,18 @@ object TableFormat {
     // snapshot produced silently at write time. Empty APPENDS stay valid
     // (a commit cycle that added no rows is a normal lineage event; the
     // carried dirs keep the snapshot readable).
-    if (!carryForward && countRows.isEmpty) throw new IllegalArgumentException(
+    if (!carryForward && partStats.isEmpty) throw new IllegalArgumentException(
       s"refusing an empty full-replace commit at $table: it would produce a " +
         "current snapshot with no data dirs, unreadable until the next " +
         "commit (append an empty batch instead if this cycle added no rows)")
-    val counts = countRows.map { r =>
+    val counts = partStats.map { p =>
         val stats =
           if (statsCols.isEmpty) ""
-          else statsCols.zipWithIndex.map { case (c, i) =>
-            val lo = jsonLit(r.get(2 + 2 * i))
-            val hi = jsonLit(r.get(3 + 2 * i))
-            s"""${jsonKey(c)}: {"min": $lo, "max": $hi}"""
+          else statsCols.map { c =>
+            val (lo, hi) = p.stats(c)
+            s"""${jsonKey(c)}: {"min": ${jsonLit(lo.orNull)}, "max": ${jsonLit(hi.orNull)}}"""
           }.mkString(""", "stats": {""", ", ", "}")
-        s"""{"${partitionCol}": ${jsonLit(r.get(0))}, "rows": ${r.getLong(1)}$stats}"""
+        s"""{"${partitionCol}": ${jsonLit(p.pv)}, "rows": ${p.rows}$stats}"""
       }
     // an overwrite excludes this batch's partition values from every carried
     // dir; appends carry prior exclusions forward untouched (an append after
@@ -207,12 +344,12 @@ object TableFormat {
     val newExcludes: Map[String, Seq[Any]] =
       if (!overwrite) prevExcludes
       else {
-        val replaced = countRows.map(_.get(0)).toSeq
+        val replaced = partStats.map(_.pv)
         prevDirs.map(d =>
           d -> (prevExcludes.getOrElse(d, Seq.empty) ++ replaced).distinct).toMap
       }
     Files.createDirectories(metaDir(table))
-    val newDirs = if (countRows.isEmpty) prevDirs else prevDirs :+ dataPath
+    val newDirs = if (partStats.isEmpty) prevDirs else prevDirs :+ dataPath
     val allDirs = newDirs.map(d => s""""$d"""").mkString(", ")
     // the DIR records its own stats (what this batch measured); the
     // SNAPSHOT records the table's stats CONTRACT — the union with the
@@ -234,7 +371,7 @@ object TableFormat {
     // reads them manifest-to-manifest; an empty batch keeps the previous
     // schema (it wrote no data to evolve anything with)
     val (columnsJson, schemaJsonFinal) =
-      if (countRows.isEmpty) {
+      if (partStats.isEmpty) {
         val cols = prev.map(v => tableColumns(table, v)).getOrElse(Seq.empty)
         val types = prev.map(v => tableSchema(table, v)).getOrElse(Map.empty)
         (cols.map(jsonKey).mkString("[", ", ", "]"),
@@ -257,7 +394,7 @@ object TableFormat {
     // stats pruning silently degraded to full scans. Readers prefer this
     // file and fall back to the snap manifest for pre-existing tables;
     // expiry deletes it only alongside its data dir.
-    if (countRows.nonEmpty)
+    if (partStats.nonEmpty)
       Files.writeString(metaDir(table).resolve(s"dir-v$version.json"),
         s"""{"partition_col": "$partitionCol", "stats_cols": $statsColsJson,
            | "partitions_added": [${counts.mkString(", ")}]}""".stripMargin)
