@@ -25,13 +25,39 @@ object ValidationPipeline {
     // the replicated rows inherit the partitioning, so the synth stage gets
     // its task granularity while the exchange carries only the
     // unreplicated metadata. The partition count is derived from the input
-    // row count (clips = orders rows 1:1; the count() is a metadata-cheap
-    // parquet job) times the replication factor — see [[synthPartitions]].
-    val rows =
-      spark.read.parquet(s"$sfDir/orders.parquet").count() * math.max(1, k)
+    // row count (clips = orders rows 1:1) times the replication factor —
+    // read from the parquet FOOTERS on the driver (a ~ms metadata read,
+    // no Spark job; same mechanism as the snapshot seam's manifest stats),
+    // with a count() job as the fallback for unreadable footers.
+    val rows = parquetRowCount(s"$sfDir/orders.parquet")
+      .getOrElse(spark.read.parquet(s"$sfDir/orders.parquet").count()) *
+      math.max(1, k)
     replicate(spark,
       ClipsTable.base(spark, sfDir).repartition(synthPartitions(rows)), k)
   }
+
+  /** Total row count of a parquet file/dir straight from the footers —
+    * driver-side metadata IO only. None when any footer is unreadable. */
+  private def parquetRowCount(pathStr: String): Option[Long] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(pathStr)
+      val files: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(p))
+          scala.util.Using.resource(java.nio.file.Files.list(p))(
+            _.iterator().asScala
+              .filter(f => f.getFileName.toString.endsWith(".parquet")).toSeq)
+        else Seq(p)
+      if (files.isEmpty) return None
+      val conf = new org.apache.hadoop.conf.Configuration()
+      Some(files.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toUri), conf)
+        scala.util.Using.resource(
+            org.apache.parquet.hadoop.ParquetFileReader.open(in))(
+          _.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum)
+      }.sum)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** [[replicatedBase]] minus the synth-stage repartition — the lineage for
     * cheap metadata-only side branches (the anomaly aggregate), which would
